@@ -1,0 +1,53 @@
+"""Import the PyTorch reference implementation from /root/reference for
+golden-value parity tests (SURVEY.md §4: "per-module allclose vs PyTorch
+reference activations").
+
+The reference depends on the `descript-audio-codec` pip package (`dac`), which
+is not installed in this image; only the class *name* is needed at import time
+(`/root/reference/parler_tts/dac_wrapper/modeling_dac.py:7`), so we inject a
+minimal stub before importing.  Test-fixture only — never shipped.
+"""
+
+import sys
+import types
+
+
+def load_reference():
+    if "parler_tts" in sys.modules:
+        return sys.modules["parler_tts"]
+    if "dac" not in sys.modules:
+        dac = types.ModuleType("dac")
+        dac_model = types.ModuleType("dac.model")
+
+        class DAC:  # placeholder, never instantiated by our tests
+            def __init__(self, *a, **k):
+                raise RuntimeError("stub DAC should not be instantiated in tests")
+
+        dac_model.DAC = DAC
+        dac.model = dac_model
+        sys.modules["dac"] = dac
+        sys.modules["dac.model"] = dac_model
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    # modern transformers ships its own "dac" model type; the reference's
+    # AutoConfig.register("dac", ...) collides — force exist_ok during import.
+    from transformers import AutoConfig, AutoModel
+
+    orig_cfg_reg, orig_mdl_reg = AutoConfig.register, AutoModel.register
+
+    def _cfg_reg(key, cfg, exist_ok=False):
+        return orig_cfg_reg(key, cfg, exist_ok=True)
+
+    def _mdl_reg(cfg, mdl, exist_ok=False):
+        return orig_mdl_reg(cfg, mdl, exist_ok=True)
+
+    AutoConfig.register = staticmethod(_cfg_reg)
+    AutoModel.register = _mdl_reg
+    try:
+        import parler_tts  # noqa: E402
+    finally:
+        AutoConfig.register = orig_cfg_reg
+        AutoModel.register = orig_mdl_reg
+
+    return parler_tts
