@@ -1,0 +1,104 @@
+"""Benchmark: generated audio-seconds per wall-second per chip (BASELINE.md
+north-star metric) on the Parler-TTS Mini 600M geometry.
+
+Runs the full jitted pipeline — T5 description encode, prompt fusion, delay
+pattern, KV-cached sampling decode loop, undelay, DAC vocode — with random
+Mini-shape weights (throughput is weight-value independent) on the real TPU
+chip, bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_sec_per_chip", "value": N, "unit": "audio-s/s",
+   "vs_baseline": N, ...}
+
+``vs_baseline`` compares against an estimated reference throughput on A100:
+the reference (torch eager, no flash attention, HF generate loop —
+/root/reference/parler_tts/modeling_parler_tts.py:320-382) decodes a 600M
+MusicGen-style LM at ≈55 steps/s with a small batch on A100; at 86 codec
+frames per audio-second and batch 4 that is ≈2.6 audio-s/s.  The reference
+publishes no numbers (BASELINE.json "published": {}), so this anchor is an
+estimate, documented here and held constant across rounds for comparability.
+
+Env knobs: BENCH_BATCH (default 4), BENCH_SECONDS (default 3 s of audio),
+BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_AUDIO_S_PER_S = 2.6  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.core.config import GenerationConfig, mini_600m_config
+    from parler_tts_tpu.generation import generate as G
+    from parler_tts_tpu.models import parler
+
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    seconds = float(os.environ.get("BENCH_SECONDS", 3.0))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    vocode = os.environ.get("BENCH_VOCODE", "1") != "0"
+
+    cfg = mini_600m_config()
+    frames = int(seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
+    gen = GenerationConfig(max_length=frames, do_sample=True, temperature=1.0, top_k=50)
+
+    print(f"backend: {jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=vocode)
+    print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    desc_ids = rng.integers(0, 32128, (batch, 32))
+    desc_mask = np.ones((batch, 32), np.int32)
+    prompt_ids = rng.integers(0, 32128, (batch, 24))
+    prompt_mask = np.ones((batch, 24), np.int32)
+
+    @jax.jit
+    def run(key):
+        out = G.generate(
+            params, cfg, gen,
+            input_ids=desc_ids, attention_mask=desc_mask,
+            prompt_input_ids=prompt_ids, prompt_attention_mask=prompt_mask,
+            key=key, vocode=vocode, dtype=jnp.bfloat16,
+        )
+        return out.audio if vocode else out.codes
+
+    t0 = time.time()
+    run(jax.random.PRNGKey(1)).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"compile+first-run {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        run(jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.time() - t0)
+    median = float(np.median(times))
+    print(f"warm times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+
+    audio_seconds = batch * (frames - cfg.decoder.num_codebooks) / cfg.frame_rate
+    value = audio_seconds / median
+    p50_latency_10s = median / seconds * 10.0  # scaled p50 for a 10 s utterance
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / A100_BASELINE_AUDIO_S_PER_S, 3),
+        "batch": batch,
+        "utterance_seconds": seconds,
+        "decode_steps": frames,
+        "p50_latency_10s_utterance_s": round(p50_latency_10s, 2),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Static-shape autoregressive generation engine.
+
+TPU-native redesign of ``ParlerTTSForConditionalGeneration.generate``
+(``/root/reference/parler_tts/modeling_parler_tts.py:2342-2686``, call stack
+SURVEY.md §3.1):
+
+* steps 4-10 (text encode, CFG null rows, prompt embed, delay-pattern build,
+  prefill) are one jitted **prefill**;
+* step 11 (the hot loop) is a ``lax.while_loop`` over a static-shape token
+  buffer and KV cache — one decoder step per codec frame, all K codebooks
+  sampled at once, with early exit once every ``(batch, codebook)`` stream
+  has emitted EOS (the reference's dynamic stopping criteria, made
+  shape-static);
+* steps 12-13 (undelay + DAC vocode) are batched masked computation instead
+  of the reference's per-sample Python trim loop (``:2664-2680``).
+
+Everything compiles once per ``(batch, prompt_len, desc_len, max_length)``
+bucket.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from parler_tts_tpu.core.config import GenerationConfig, ParlerTTSConfig
+from parler_tts_tpu.models import dac as dac_mod
+from parler_tts_tpu.models import decoder as decoder_mod
+from parler_tts_tpu.models import parler
+from parler_tts_tpu.models.delay_pattern import build_delay_pattern, undelay_pattern
+from parler_tts_tpu.generation import sampling
+from parler_tts_tpu.ops.nn import Params
+
+
+class GenerateOutput(NamedTuple):
+    """tokens: raw delayed ids (B, K, max_length); codes: undelayed clean
+    codec codes (B, K, T_codes); code_lengths: valid frames per sample;
+    audio: (B, T_codes*hop) waveform; audio_lengths: valid samples per
+    sample."""
+
+    tokens: jnp.ndarray
+    codes: jnp.ndarray
+    code_lengths: jnp.ndarray
+    audio: jnp.ndarray
+    audio_lengths: jnp.ndarray
+
+
+class DecodeState(NamedTuple):
+    t: jnp.ndarray  # current position being generated (scalar int32)
+    tokens: jnp.ndarray  # (B, K, max_length) delayed buffer
+    finished: jnp.ndarray  # (B, K) bool — stream emitted EOS
+    cache: decoder_mod.KVCache
+    logits: jnp.ndarray  # (rows, K, V) logits predicting position t
+    key: jnp.ndarray
+
+
+def _decoder_rows(x: jnp.ndarray, use_cfg: bool) -> jnp.ndarray:
+    """CFG duplicates the batch rows: [cond; uncond] (reference :1214-1229)."""
+    return jnp.concatenate([x, x], axis=0) if use_cfg else x
+
+
+def generate_tokens(
+    params: Params,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig,
+    *,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray | None = None,
+    prompt_input_ids: jnp.ndarray,
+    prompt_attention_mask: jnp.ndarray | None = None,
+    key: jnp.ndarray,
+    max_length: int | None = None,
+    dtype=jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run prefill + decode loop; returns (delayed tokens (B, K, T), final
+    decode step index).  Pure & jittable with static ``max_length``."""
+    dcfg = cfg.decoder
+    b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
+    max_length = max_length or gen.max_length
+    use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
+
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+    if prompt_attention_mask is None:
+        prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
+
+    # --- text encode + CFG null rows (reference :2197-2241) ---
+    enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
+    enc_mask = attention_mask
+    if use_cfg:
+        enc_hidden = jnp.concatenate([enc_hidden, jnp.zeros_like(enc_hidden)], axis=0)
+        enc_mask = jnp.concatenate([enc_mask, jnp.zeros_like(enc_mask)], axis=0)
+
+    # --- prompt embed; CFG *repeats* the prompt rows (guidance is on the
+    # description only — composite prepare_inputs duplicates via repeat,
+    # reference :2109-2118, unlike the decoder-only zeros path :1214-1229) ---
+    prompt_hidden = parler.embed_prompts(params, prompt_input_ids, dtype=dtype)
+    p_mask = prompt_attention_mask
+    if use_cfg:
+        prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
+        p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
+
+    # --- delay pattern over the un-duplicated batch (reference :2529-2537) ---
+    start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
+    _, pattern, t0 = build_delay_pattern(
+        start_ids,
+        bos_token_id=gen.bos_token_id,
+        pad_token_id=gen.pad_token_id,
+        max_length=max_length,
+    )
+    tokens = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+
+    # --- prefill: prompt + start frame ---
+    rows = 2 * b if use_cfg else b
+    p_len = prompt_hidden.shape[1]
+    cache = decoder_mod.init_cache(dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype)
+    # one static fused mask covering prompt padding + all decode positions;
+    # causal masking hides not-yet-written positions, so it is valid at every
+    # step (prompt left-padding stays masked throughout — reference :843-867)
+    fused_mask = jnp.concatenate(
+        [p_mask.astype(jnp.int32), jnp.ones((rows, max_length), jnp.int32)], axis=1
+    )
+    hidden, cache = decoder_mod.forward(
+        params["decoder"],
+        dcfg,
+        _decoder_rows(tokens[:, :, :1], use_cfg),
+        prompt_hidden_states=prompt_hidden,
+        encoder_hidden_states=enc_hidden,
+        encoder_attention_mask=enc_mask,
+        attention_mask=fused_mask,
+        cache=cache,
+        dtype=dtype,
+    )
+    logits0 = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]  # (rows,K,V)
+
+    state = DecodeState(
+        t=jnp.asarray(t0, jnp.int32),
+        tokens=tokens,
+        finished=jnp.zeros((b, num_codebooks), bool),
+        cache=cache,
+        logits=logits0,
+        key=key,
+    )
+
+    eos = gen.eos_token_id
+    pad = gen.pad_token_id
+
+    def cond(s: DecodeState):
+        return (s.t < max_length) & ~jnp.all(s.finished)
+
+    def body(s: DecodeState) -> DecodeState:
+        step_key = jax.random.fold_in(s.key, s.t)
+        logits = s.logits
+        if use_cfg:
+            cond_l, uncond_l = logits[:b], logits[b:]
+            logits = sampling.apply_cfg(cond_l, uncond_l, gen.guidance_scale)
+        logits = sampling.process_logits(logits, gen)
+        sampled = sampling.select_tokens(step_key, logits, gen).astype(jnp.int32)  # (B,K)
+
+        # finished streams emit PAD (HF unfinished_sequences semantics)
+        sampled = jnp.where(s.finished, pad, sampled)
+        # delay pattern forcing (reference re-applies the mask every step,
+        # :1203-1212)
+        forced = lax.dynamic_slice_in_dim(s.tokens, s.t, 1, axis=2)[:, :, 0]
+        pat_t = lax.dynamic_slice_in_dim(pattern, s.t, 1, axis=2)[:, :, 0]
+        token_t = jnp.where(pat_t == -1, sampled, forced)
+        new_finished = s.finished | (token_t == eos)
+
+        new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
+
+        hidden, new_cache = decoder_mod.forward(
+            params["decoder"],
+            dcfg,
+            _decoder_rows(token_t[:, :, None], use_cfg),
+            encoder_attention_mask=enc_mask,
+            attention_mask=fused_mask,
+            cache=s.cache,
+            dtype=dtype,
+        )
+        new_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+        return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
+
+    final = lax.while_loop(cond, body, state)
+    return final.tokens, final.t
+
+
+def postprocess_tokens(
+    tokens: jnp.ndarray, cfg: ParlerTTSConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Undelay + trim specials (reference :2628-2680, made batch-static).
+
+    Drops the BOS start column, left-shifts codebook k by k, computes each
+    sample's valid length as the first frame where any codebook holds a
+    special (>= codebook_size), and zeroes codes from there on.  Returns
+    (codes (B, K, T'), code_lengths (B,)).
+    """
+    codes = undelay_pattern(tokens[:, :, 1:])
+    codebook_size = cfg.audio_encoder.codebook_size
+    t = codes.shape[-1]
+    special = jnp.any(codes >= codebook_size, axis=1)  # (B, T')
+    first_special = jnp.where(
+        jnp.any(special, axis=1), jnp.argmax(special, axis=1), t
+    )
+    valid = jnp.arange(t)[None] < first_special[:, None]
+    codes = jnp.where(valid[:, None, :], codes, 0)
+    return codes, first_special.astype(jnp.int32)
+
+
+def generate(
+    params: Params,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig,
+    *,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray | None = None,
+    prompt_input_ids: jnp.ndarray,
+    prompt_attention_mask: jnp.ndarray | None = None,
+    key: jnp.ndarray,
+    max_length: int | None = None,
+    vocode: bool = True,
+    dtype=jnp.float32,
+) -> GenerateOutput:
+    """description ids + prompt ids -> waveform (the reference's user API,
+    ``README.md:52``)."""
+    tokens, _ = generate_tokens(
+        params, cfg, gen,
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        prompt_input_ids=prompt_input_ids,
+        prompt_attention_mask=prompt_attention_mask,
+        key=key,
+        max_length=max_length,
+        dtype=dtype,
+    )
+    codes, code_lengths = postprocess_tokens(tokens, cfg)
+    if vocode and "audio_encoder" in params:
+        audio = dac_mod.decode(params["audio_encoder"], cfg.audio_encoder, codes)
+    else:
+        audio = jnp.zeros((tokens.shape[0], 0), jnp.float32)
+    audio_lengths = code_lengths * cfg.audio_encoder.hop_length
+    return GenerateOutput(tokens, codes, code_lengths, audio, audio_lengths)

@@ -1,0 +1,62 @@
+"""Logits processors and samplers for multi-codebook decoding.
+
+Static-shape JAX equivalents of the HF logits-processor chain the reference
+relies on (``/root/reference/parler_tts/modeling_parler_tts.py:2543-2620``):
+classifier-free guidance combine, temperature, top-k, top-p, then categorical
+sampling (or argmax for greedy) applied per ``(batch, codebook)`` row.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from parler_tts_tpu.core.config import GenerationConfig
+
+NEG_INF = -1e9
+
+
+def apply_cfg(cond: jnp.ndarray, uncond: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """HF ``ClassifierFreeGuidanceLogitsProcessor``:
+    ``uncond + scale * (cond - uncond)``."""
+    return uncond + scale * (cond - uncond)
+
+
+def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    return logits / temperature
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k highest logits per row, mask the rest (HF TopKLogitsWarper)."""
+    k = min(k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob (exclusive) < p; always keep top-1
+    keep_sorted = jnp.roll(cum, 1, axis=-1).at[..., 0].set(0.0) < p
+    kth = jnp.where(keep_sorted, sorted_logits, jnp.inf).min(axis=-1, keepdims=True)
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def process_logits(logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
+    """Temperature/top-k/top-p chain in HF's warper order."""
+    if gen.do_sample and gen.temperature not in (None, 1.0):
+        logits = apply_temperature(logits, gen.temperature)
+    if gen.do_sample and gen.top_k and gen.top_k > 0:
+        logits = apply_top_k(logits, gen.top_k)
+    if gen.do_sample and gen.top_p is not None and gen.top_p < 1.0:
+        logits = apply_top_p(logits, gen.top_p)
+    return logits
+
+
+def select_tokens(key, logits: jnp.ndarray, gen: GenerationConfig) -> jnp.ndarray:
+    """logits (..., V) -> token ids (...). Greedy argmax or categorical."""
+    if gen.do_sample:
+        return jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)
+    return jnp.argmax(logits, axis=-1)

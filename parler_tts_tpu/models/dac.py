@@ -1,0 +1,249 @@
+"""Descript Audio Codec (DAC), TPU-native.
+
+Re-implements the codec the reference wraps
+(``/root/reference/parler_tts/dac_wrapper/modeling_dac.py:19-23`` over the
+``descript-audio-codec`` package; architecture cross-checked against HF
+``transformers.DacModel``, a faithful port with golden tests):
+
+* **Encoder** — strided Snake/conv stack, 44.1 kHz -> 86 Hz latents
+  (hop = prod(downsampling_ratios) = 512).
+* **RVQ** — 9 residual vector quantizers, factorized 8-dim L2-normalized
+  codebooks (``DacVectorQuantize`` semantics).
+* **Decoder (vocoder)** — transposed-conv Snake stack upsampling x512 back to
+  waveform, final tanh.
+
+Everything is NWC (B, T, C); audio is (B, T) mono.  ``from_codes`` +
+``decode`` serve generation (reference ``modeling_dac.py:98-134``);
+``encode`` serves the training pipeline's offline audio tokenization
+(reference ``training/run_parler_tts_training.py:1125-1135``).
+
+Inference-oriented: weight-norm is folded into plain kernels at import.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from parler_tts_tpu.core.config import DACConfig
+from parler_tts_tpu.ops.conv import conv1d, conv_transpose1d
+from parler_tts_tpu.ops.nn import Params, _precision
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation: ``x + (1/(alpha+1e-9)) * sin(alpha*x)^2``.
+    alpha: (C,), broadcast over (B, T, C).  fp32 internally (sin² is
+    catastrophic in bf16)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)
+    y = x32 + jnp.square(jnp.sin(a * x32)) / (a + 1e-9)
+    return y.astype(dtype)
+
+
+def _res_unit(p: Params, x: jnp.ndarray, *, dilation: int) -> jnp.ndarray:
+    """Snake -> dilated conv7 -> Snake -> conv1, residual add (same length:
+    pad = 3*dilation keeps T; the torch version's center-trim is a no-op)."""
+    y = snake(x, p["snake1"]["alpha"])
+    y = conv1d(p["conv1"], y, dilation=dilation, padding=3 * dilation)
+    y = snake(y, p["snake2"]["alpha"])
+    y = conv1d(p["conv2"], y)
+    return x + y
+
+
+_DILATIONS = (1, 3, 9)
+
+
+def encoder_forward(p: Params, cfg: DACConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) waveform -> (B, T/hop, latent_dim) continuous latents."""
+    x = audio[..., None]  # (B, T, 1)
+    x = conv1d(p["conv_in"], x, padding=3)
+    for block, stride in zip(p["blocks"], cfg.downsampling_ratios):
+        for r, d in zip((block["res1"], block["res2"], block["res3"]), _DILATIONS):
+            x = _res_unit(r, x, dilation=d)
+        x = snake(x, block["snake"]["alpha"])
+        x = conv1d(block["conv_down"], x, stride=stride, padding=-(-stride // 2))
+    x = snake(x, p["snake_out"]["alpha"])
+    return conv1d(p["conv_out"], x, padding=1)
+
+
+def decoder_forward(p: Params, cfg: DACConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """(B, T86, latent_dim) quantized latents -> (B, T86*hop) waveform."""
+    x = conv1d(p["conv_in"], z, padding=3)
+    for block, stride in zip(p["blocks"], cfg.upsampling_ratios):
+        x = snake(x, block["snake"]["alpha"])
+        x = conv_transpose1d(block["conv_up"], x, stride=stride, padding=-(-stride // 2))
+        for r, d in zip((block["res1"], block["res2"], block["res3"]), _DILATIONS):
+            x = _res_unit(r, x, dilation=d)
+    x = snake(x, p["snake_out"]["alpha"])
+    x = conv1d(p["conv_out"], x, padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Residual vector quantizer
+# ---------------------------------------------------------------------------
+
+
+def rvq_from_codes(p: Params, codes: jnp.ndarray) -> jnp.ndarray:
+    """Codes -> summed quantized latents (``DacResidualVectorQuantize.
+    from_codes`` semantics, used by the generation path — reference
+    ``modeling_dac.py:130``).
+
+    codes: (B, K, T) int -> (B, T, latent_dim).
+
+    One fused einsum instead of K sequential 1x1 convs: gather all codebook
+    vectors then contract (K, 8) against the stacked out-projections — a
+    single MXU matmul.
+    """
+    q = p["quantizer"]
+    # (B, K, T, D): per-codebook embedding lookup
+    zp = jnp.take_along_axis(
+        q["codebooks"][None],  # (1, K, N, D)
+        codes[..., None].astype(jnp.int32),
+        axis=2,
+    )
+    z_q = jnp.einsum(
+        "bktd,kdh->bth",
+        zp.astype(jnp.float32),
+        q["out_proj"]["kernel"].astype(jnp.float32),
+        precision=_precision(zp.astype(jnp.float32)),
+    )
+    return z_q + jnp.sum(q["out_proj"]["bias"], axis=0).astype(jnp.float32)
+
+
+def rvq_encode(p: Params, z: jnp.ndarray, *, n_quantizers: int | None = None) -> jnp.ndarray:
+    """Continuous latents -> codes via residual nearest-neighbour lookup
+    (``DacVectorQuantize.decode_latents`` semantics: L2-normalized factorized
+    codes).  z: (B, T, latent_dim) -> (B, K, T) int32."""
+    q = p["quantizer"]
+    num_codebooks = q["codebooks"].shape[0]
+    n = n_quantizers or num_codebooks
+    residual = z.astype(jnp.float32)
+    codes = []
+    for k in range(n):
+        w_in = q["in_proj"]["kernel"][k].astype(jnp.float32)  # (latent, D)
+        b_in = q["in_proj"]["bias"][k].astype(jnp.float32)
+        latents = residual @ w_in + b_in  # (B, T, D)
+        enc = latents / jnp.maximum(jnp.linalg.norm(latents, axis=-1, keepdims=True), 1e-12)
+        cb = q["codebooks"][k].astype(jnp.float32)  # (N, D)
+        cbn = cb / jnp.maximum(jnp.linalg.norm(cb, axis=-1, keepdims=True), 1e-12)
+        # -(|e|² - 2 e·c) + |c|² == 2 e·c - |e|² + |c|²  (argmax == nearest)
+        dist = (
+            2.0 * jnp.einsum("btd,nd->btn", enc, cbn, precision=_precision(enc))
+            - jnp.sum(jnp.square(enc), axis=-1, keepdims=True)
+            + jnp.sum(jnp.square(cbn), axis=-1)[None, None, :]
+        )
+        idx = jnp.argmax(dist, axis=-1)  # (B, T)
+        codes.append(idx)
+        z_qk = jnp.take(cb, idx, axis=0)  # (B, T, D)
+        w_out = q["out_proj"]["kernel"][k].astype(jnp.float32)
+        b_out = q["out_proj"]["bias"][k].astype(jnp.float32)
+        residual = residual - (z_qk @ w_out + b_out)
+    return jnp.stack(codes, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Public codec API (mirrors the reference wrapper's encode/decode,
+# modeling_dac.py:25-134)
+# ---------------------------------------------------------------------------
+
+
+def pad_audio(audio: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """Right-pad (B, T) waveform with zeros to a multiple of the hop length
+    (descript ``preprocess`` semantics)."""
+    t = audio.shape[-1]
+    pad = (-t) % hop_length
+    if pad:
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+    return audio
+
+
+def encode(params: Params, cfg: DACConfig, audio: jnp.ndarray, *, n_quantizers: int | None = None) -> jnp.ndarray:
+    """(B, T) waveform -> (B, K, T/hop) codes."""
+    audio = pad_audio(audio, cfg.hop_length)
+    z = encoder_forward(params["encoder"], cfg, audio)
+    return rvq_encode(params, z, n_quantizers=n_quantizers)
+
+
+def decode(params: Params, cfg: DACConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """(B, K, T86) codes -> (B, T86*hop) waveform."""
+    z_q = rvq_from_codes(params, codes)
+    return decoder_forward(params["decoder"], cfg, z_q)
+
+
+# ---------------------------------------------------------------------------
+# Init (for tests / from-scratch training; real use imports torch weights)
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: DACConfig) -> Params:
+    k_iter = iter(jax.random.split(key, 256))
+
+    def conv(cin, cout, width):
+        return {
+            "kernel": 0.02 * jax.random.truncated_normal(next(k_iter), -2, 2, (width, cin, cout), jnp.float32),
+            "bias": jnp.zeros((cout,)),
+        }
+
+    def res(dim):
+        return {
+            "snake1": {"alpha": jnp.ones((dim,))},
+            "conv1": conv(dim, dim, 7),
+            "snake2": {"alpha": jnp.ones((dim,))},
+            "conv2": conv(dim, dim, 1),
+        }
+
+    enc_blocks = []
+    d = cfg.encoder_hidden_size
+    for stride in cfg.downsampling_ratios:
+        d *= 2
+        enc_blocks.append(
+            {
+                "res1": res(d // 2),
+                "res2": res(d // 2),
+                "res3": res(d // 2),
+                "snake": {"alpha": jnp.ones((d // 2,))},
+                "conv_down": conv(d // 2, d, 2 * stride),
+            }
+        )
+    encoder = {
+        "conv_in": conv(1, cfg.encoder_hidden_size, 7),
+        "blocks": enc_blocks,
+        "snake_out": {"alpha": jnp.ones((d,))},
+        "conv_out": conv(d, cfg.latent_dim, 3),
+    }
+
+    dec_blocks = []
+    d = cfg.decoder_hidden_size
+    for stride in cfg.upsampling_ratios:
+        dec_blocks.append(
+            {
+                "snake": {"alpha": jnp.ones((d,))},
+                "conv_up": conv(d, d // 2, 2 * stride),
+                "res1": res(d // 2),
+                "res2": res(d // 2),
+                "res3": res(d // 2),
+            }
+        )
+        d //= 2
+    decoder = {
+        "conv_in": conv(cfg.latent_dim, cfg.decoder_hidden_size, 7),
+        "blocks": dec_blocks,
+        "snake_out": {"alpha": jnp.ones((d,))},
+        "conv_out": conv(d, 1, 7),
+    }
+
+    K, N, D, L = cfg.num_codebooks, cfg.codebook_size, cfg.codebook_dim, cfg.latent_dim
+    quantizer = {
+        "codebooks": 0.02 * jax.random.normal(next(k_iter), (K, N, D), jnp.float32),
+        "in_proj": {
+            "kernel": 0.02 * jax.random.truncated_normal(next(k_iter), -2, 2, (K, L, D), jnp.float32),
+            "bias": jnp.zeros((K, D)),
+        },
+        "out_proj": {
+            "kernel": 0.02 * jax.random.truncated_normal(next(k_iter), -2, 2, (K, D, L), jnp.float32),
+            "bias": jnp.zeros((K, L)),
+        },
+    }
+    return {"encoder": encoder, "decoder": decoder, "quantizer": quantizer}

@@ -19,9 +19,17 @@ def load_reference():
         dac = types.ModuleType("dac")
         dac_model = types.ModuleType("dac.model")
 
-        class DAC:  # placeholder, never instantiated by our tests
-            def __init__(self, *a, **k):
-                raise RuntimeError("stub DAC should not be instantiated in tests")
+        import torch
+
+        class DAC(torch.nn.Module):
+            """Inert stand-in: reference DACModel wraps it but our tests
+            never call encode/decode through the reference wrapper."""
+
+            def __init__(self, n_codebooks=9, latent_dim=1024, codebook_size=1024, **kw):
+                super().__init__()
+                self.n_codebooks = n_codebooks
+                self.latent_dim = latent_dim
+                self.codebook_size = codebook_size
 
         dac_model.DAC = DAC
         dac.model = dac_model
@@ -36,11 +44,19 @@ def load_reference():
 
     orig_cfg_reg, orig_mdl_reg = AutoConfig.register, AutoModel.register
 
+    # keep transformers' native "dac" mapping (tests build composite models
+    # whose audio encoder is the HF DacModel); ignore duplicate registration
     def _cfg_reg(key, cfg, exist_ok=False):
-        return orig_cfg_reg(key, cfg, exist_ok=True)
+        try:
+            return orig_cfg_reg(key, cfg)
+        except ValueError:
+            return None
 
     def _mdl_reg(cfg, mdl, exist_ok=False):
-        return orig_mdl_reg(cfg, mdl, exist_ok=True)
+        try:
+            return orig_mdl_reg(cfg, mdl)
+        except ValueError:
+            return None
 
     AutoConfig.register = staticmethod(_cfg_reg)
     AutoModel.register = _mdl_reg
