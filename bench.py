@@ -51,7 +51,11 @@ def main():
 
     print(f"backend: {jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
     t0 = time.time()
-    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=vocode)
+    # one fused compile for init (eager init is hundreds of tiny dispatches)
+    params = jax.jit(
+        lambda k: parler.init(k, cfg, with_audio_encoder=vocode)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -61,24 +65,27 @@ def main():
     prompt_mask = np.ones((batch, 24), np.int32)
 
     @jax.jit
-    def run(key):
+    def run(params, key):
         out = G.generate(
             params, cfg, gen,
             input_ids=desc_ids, attention_mask=desc_mask,
             prompt_input_ids=prompt_ids, prompt_attention_mask=prompt_mask,
             key=key, vocode=vocode, dtype=jnp.bfloat16,
         )
-        return out.audio if vocode else out.codes
+        res = out.audio if vocode else out.codes
+        # scalar reduce: timing fetches this to host — block_until_ready is
+        # NOT a reliable completion barrier through the axon tunnel
+        return jnp.sum(res.astype(jnp.float32))
 
     t0 = time.time()
-    run(jax.random.PRNGKey(1)).block_until_ready()
+    float(run(params, jax.random.PRNGKey(1)))
     compile_s = time.time() - t0
     print(f"compile+first-run {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(reps):
         t0 = time.time()
-        run(jax.random.PRNGKey(2 + i)).block_until_ready()
+        float(run(params, jax.random.PRNGKey(2 + i)))
         times.append(time.time() - t0)
     median = float(np.median(times))
     print(f"warm times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)

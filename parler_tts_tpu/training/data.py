@@ -1,0 +1,253 @@
+"""Data pipeline: dataset merging, tokenization, offline audio tokenization,
+delay-pattern label construction, filtering, static-shape collation.
+
+TPU-native re-design of the reference's data stages
+(``/root/reference/training/run_parler_tts_training.py:590-780, 1081-1268``;
+SURVEY.md §2.10):
+
+* `+`-separated multi-dataset specs with optional metadata side-datasets
+  column-merged by id (reference ``:590-645, 693-758``);
+* offline audio tokenization runs the **JAX DAC encoder** in batches,
+  per-host sharded by ``jax.process_index`` (replacing the reference's
+  Accelerate-dispatched torch codec pass ``:1106-1161``);
+* labels are built with the static-shape delay-pattern builder
+  (``models/delay_pattern.build_delay_pattern_labels``) instead of the
+  reference's per-sample torch loop (``:1179-1213``);
+* the collator pads prompts **on the left** (reference tokenizer padding
+  side ``:910-917``), labels with ``-100`` (reference ``:551-555``), and can
+  pad everything to fixed maxima for single-compilation training
+  (the reference only does this under torch.compile, ``:1259-1268``; on TPU
+  static shapes are the default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+from parler_tts_tpu.core.config import DACConfig
+from parler_tts_tpu.models.delay_pattern import build_delay_pattern_labels
+
+
+@dataclass
+class DatasetSpec:
+    """One entry of a `+`-separated multi-dataset string
+    (reference ``convert_dataset_str_to_list``, ``:590-645``)."""
+
+    name: str
+    config: str | None = None
+    split: str = "train"
+    metadata_name: str | None = None
+    samples: int | None = None
+
+
+def parse_dataset_spec(
+    names: str,
+    configs: str | None = None,
+    splits: str | None = None,
+    metadata_names: str | None = None,
+    samples_counts: str | None = None,
+) -> list[DatasetSpec]:
+    """Split `+`-separated fields and zip them, validating equal lengths
+    (reference ``:590-645`` semantics, including single-value broadcast)."""
+
+    def split_plus(s: str | None) -> list[str | None]:
+        if not s:
+            return []
+        return [x if x else None for x in s.split("+")]
+
+    name_list = split_plus(names)
+    n = len(name_list)
+
+    def norm(s, default=None):
+        vals = split_plus(s)
+        if not vals:
+            return [default] * n
+        if len(vals) == 1:
+            return vals * n
+        if len(vals) != n:
+            raise ValueError(f"spec length mismatch: {s!r} vs {names!r}")
+        return vals
+
+    return [
+        DatasetSpec(
+            name=nm,
+            config=cf,
+            split=sp or "train",
+            metadata_name=md,
+            samples=int(sc) if sc else None,
+        )
+        for nm, cf, sp, md, sc in zip(
+            name_list, norm(configs), norm(splits, "train"), norm(metadata_names), norm(samples_counts)
+        )
+    ]
+
+
+def load_multiple_datasets(specs: Sequence[DatasetSpec], *, sampling_rate: int | None = None,
+                           columns: Sequence[str] = (), id_column: str = "id"):
+    """Load + merge datasets with metadata side-datasets (reference
+    ``load_multiple_datasets`` ``:648-780``): per-spec load, audio cast to the
+    codec sampling rate, metadata column-concat with id-equality verification,
+    then concatenation.  Local paths use ``load_from_disk``."""
+    import datasets as hfds
+
+    parts = []
+    for spec in specs:
+        try:
+            ds = hfds.load_from_disk(spec.name) if _is_local(spec.name) else hfds.load_dataset(
+                spec.name, spec.config, split=spec.split
+            )
+            if isinstance(ds, hfds.DatasetDict):
+                ds = ds[spec.split]
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(f"failed to load dataset {spec.name!r}: {e}") from e
+        if sampling_rate is not None and "audio" in ds.column_names:
+            ds = ds.cast_column("audio", hfds.Audio(sampling_rate=sampling_rate))
+        if spec.metadata_name:
+            md = hfds.load_from_disk(spec.metadata_name) if _is_local(spec.metadata_name) else hfds.load_dataset(
+                spec.metadata_name, spec.config, split=spec.split
+            )
+            # verify row alignment by id equality (reference :745-757)
+            if id_column in ds.column_names and id_column in md.column_names:
+                ids_a = ds[id_column]
+                ids_b = md[id_column]
+                if list(ids_a[: min(64, len(ids_a))]) != list(ids_b[: min(64, len(ids_b))]):
+                    raise ValueError(f"metadata id mismatch for {spec.name}")
+                md = md.remove_columns([id_column])
+            new_cols = [c for c in md.column_names if c not in ds.column_names]
+            for c in new_cols:
+                ds = ds.add_column(c, md[c])
+        if spec.samples:
+            ds = ds.select(range(min(spec.samples, len(ds))))
+        parts.append(ds)
+    return hfds.concatenate_datasets(parts) if len(parts) > 1 else parts[0]
+
+
+def _is_local(name: str) -> bool:
+    import os
+
+    return os.path.exists(name)
+
+
+# ---------------------------------------------------------------------------
+# Offline audio tokenization (frozen DAC encoder, JAX)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_audio_batches(
+    dac_params: Any,
+    dac_cfg: DACConfig,
+    audio_arrays: Sequence[np.ndarray],
+    *,
+    batch_size: int = 8,
+    pad_to_seconds: float | None = None,
+) -> list[np.ndarray]:
+    """Encode raw waveforms to codec codes with the frozen JAX DAC encoder —
+    the reference's distributed codec pass (``:1106-1161``) minus torch.
+
+    Waveforms are bucketed to the batch max (or a fixed ``pad_to_seconds``)
+    so XLA compiles a handful of shapes; each sample's code length is
+    ``ceil(len/hop)`` like the reference's ``ratio`` bookkeeping (``:1134``).
+    Returns per-sample ``(K, T_codes)`` int16 arrays (reference stores int16,
+    ``:1155``).
+    """
+    import jax
+
+    from parler_tts_tpu.models import dac as dac_mod
+
+    encode = jax.jit(lambda a: dac_mod.encode(dac_params, dac_cfg, a))
+    hop = dac_cfg.hop_length
+    out: list[np.ndarray] = []
+    for i in range(0, len(audio_arrays), batch_size):
+        chunk = [np.asarray(a, np.float32) for a in audio_arrays[i : i + batch_size]]
+        lens = [len(a) for a in chunk]
+        if pad_to_seconds is not None:
+            pad_len = int(pad_to_seconds * dac_cfg.sampling_rate)
+        else:
+            pad_len = max(lens)
+        pad_len = ((pad_len + hop - 1) // hop) * hop
+        batch = np.zeros((len(chunk), pad_len), np.float32)
+        for j, a in enumerate(chunk):
+            batch[j, : len(a)] = a[:pad_len]
+        codes = np.asarray(encode(batch))  # (B, K, pad_len/hop)
+        for j, ln in enumerate(lens):
+            t = min((ln + hop - 1) // hop, codes.shape[-1])
+            out.append(codes[j, :, :t].astype(np.int16))
+    return out
+
+
+def build_labels(
+    codes_list: Sequence[np.ndarray],
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    max_length: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample codes -> batched (B, K, max_length) delay-pattern labels +
+    true lengths (reference label build ``:1164-1213``)."""
+    k = codes_list[0].shape[0]
+    t_max = max(c.shape[1] for c in codes_list)
+    codes = np.zeros((len(codes_list), k, t_max), np.int32)
+    lengths = np.zeros((len(codes_list),), np.int32)
+    for i, c in enumerate(codes_list):
+        codes[i, :, : c.shape[1]] = c
+        lengths[i] = c.shape[1]
+    labels = build_delay_pattern_labels(
+        codes, lengths, bos_token_id=bos_token_id, eos_token_id=eos_token_id, max_length=max_length
+    )
+    return np.asarray(labels), lengths
+
+
+# ---------------------------------------------------------------------------
+# Collator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Collator:
+    """Static-shape batch collator (reference
+    ``DataCollatorParlerTTSWithPadding`` ``:515-587``): left-padded prompts,
+    right-padded descriptions, labels already in the delay pattern with
+    ``-100`` past each sample's EOS."""
+
+    description_pad_id: int
+    prompt_pad_id: int
+    max_description_len: int
+    max_prompt_len: int
+    label_len: int
+
+    def __call__(self, samples: Sequence[dict]) -> dict[str, np.ndarray]:
+        b = len(samples)
+        k = samples[0]["labels"].shape[0]
+        batch = {
+            "input_ids": np.full((b, self.max_description_len), self.description_pad_id, np.int32),
+            "attention_mask": np.zeros((b, self.max_description_len), np.int32),
+            "prompt_input_ids": np.full((b, self.max_prompt_len), self.prompt_pad_id, np.int32),
+            "prompt_attention_mask": np.zeros((b, self.max_prompt_len), np.int32),
+            "labels": np.full((b, k, self.label_len), -100, np.int32),
+        }
+        for i, s in enumerate(samples):
+            d = np.asarray(s["input_ids"], np.int32)[: self.max_description_len]
+            batch["input_ids"][i, : len(d)] = d
+            batch["attention_mask"][i, : len(d)] = 1
+            p = np.asarray(s["prompt_input_ids"], np.int32)[: self.max_prompt_len]
+            batch["prompt_input_ids"][i, self.max_prompt_len - len(p):] = p  # left pad (:574-585)
+            batch["prompt_attention_mask"][i, self.max_prompt_len - len(p):] = 1
+            lab = np.asarray(s["labels"], np.int32)[:, : self.label_len]
+            batch["labels"][i, :, : lab.shape[1]] = lab
+        return batch
+
+
+def batches(dataset: Sequence[dict], collator: Collator, batch_size: int, *,
+            seed: int = 0, shuffle: bool = True, drop_last: bool = True) -> Iterator[dict]:
+    """Epoch iterator with per-epoch shuffle (reference ``:1559``)."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
+    for i in range(0, end, batch_size):
+        take = idx[i : i + batch_size]
+        yield collator([dataset[int(j)] for j in take])
