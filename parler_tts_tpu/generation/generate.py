@@ -71,12 +71,19 @@ def generate_tokens(
     attention_mask: jnp.ndarray | None = None,
     prompt_input_ids: jnp.ndarray,
     prompt_attention_mask: jnp.ndarray | None = None,
+    decoder_input_codes: jnp.ndarray | None = None,
     key: jnp.ndarray,
     max_length: int | None = None,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run prefill + decode loop; returns (delayed tokens (B, K, T), final
-    decode step index).  Pure & jittable with static ``max_length``."""
+    decode step index).  Pure & jittable with static ``max_length``.
+
+    ``decoder_input_codes`` (B, K, T_audio) enables audio-prompted voice
+    continuation: raw codec codes (from ``dac.encode`` of a voice sample) are
+    placed after the BOS start frame, exactly like the reference's
+    ``input_values`` path (``modeling_parler_tts.py:2247-2292, 2483-2487``).
+    """
     dcfg = cfg.decoder
     b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
     max_length = max_length or gen.max_length
@@ -105,6 +112,8 @@ def generate_tokens(
 
     # --- delay pattern over the un-duplicated batch (reference :2529-2537) ---
     start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
+    if decoder_input_codes is not None:
+        start_ids = jnp.concatenate([start_ids, decoder_input_codes.astype(jnp.int32)], axis=2)
     _, pattern, t0 = build_delay_pattern(
         start_ids,
         bos_token_id=gen.bos_token_id,
@@ -123,10 +132,12 @@ def generate_tokens(
     fused_mask = jnp.concatenate(
         [p_mask.astype(jnp.int32), jnp.ones((rows, max_length), jnp.int32)], axis=1
     )
+    # prefill the whole forced prefix [0, t0): BOS frame + any audio-prompt
+    # codes (pattern-applied, so codebook delays are already in place)
     hidden, cache = decoder_mod.forward(
         params["decoder"],
         dcfg,
-        _decoder_rows(tokens[:, :, :1], use_cfg),
+        _decoder_rows(tokens[:, :, :t0], use_cfg),
         prompt_hidden_states=prompt_hidden,
         encoder_hidden_states=enc_hidden,
         encoder_attention_mask=enc_mask,
@@ -218,19 +229,30 @@ def generate(
     attention_mask: jnp.ndarray | None = None,
     prompt_input_ids: jnp.ndarray,
     prompt_attention_mask: jnp.ndarray | None = None,
+    input_values: jnp.ndarray | None = None,
+    decoder_input_codes: jnp.ndarray | None = None,
     key: jnp.ndarray,
     max_length: int | None = None,
     vocode: bool = True,
     dtype=jnp.float32,
 ) -> GenerateOutput:
     """description ids + prompt ids -> waveform (the reference's user API,
-    ``README.md:52``)."""
+    ``README.md:52``).  ``input_values`` (B, T) raw audio enables voice
+    continuation (encoded to codes by the frozen DAC, reference
+    ``:2247-2292``); alternatively pass pre-computed ``decoder_input_codes``.
+    """
+    if input_values is not None:
+        assert decoder_input_codes is None
+        decoder_input_codes = dac_mod.encode(
+            params["audio_encoder"], cfg.audio_encoder, input_values
+        )
     tokens, _ = generate_tokens(
         params, cfg, gen,
         input_ids=input_ids,
         attention_mask=attention_mask,
         prompt_input_ids=prompt_input_ids,
         prompt_attention_mask=prompt_attention_mask,
+        decoder_input_codes=decoder_input_codes,
         key=key,
         max_length=max_length,
         dtype=dtype,

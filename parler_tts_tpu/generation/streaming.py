@@ -1,0 +1,194 @@
+"""Streaming generation: chunked codec-token emit + incremental DAC vocode
+(BASELINE.json config 4).
+
+The reference only exposes token-level streamer hooks
+(``/root/reference/parler_tts/modeling_parler_tts.py:2540-2541``) — waveform
+streaming is new design:
+
+* the decode loop runs in fixed-size **chunks of frames** (one jitted
+  ``lax.while_loop`` per chunk, carrying the same static-shape
+  ``DecodeState`` across calls), so first-audio latency is
+  ``chunk_frames / 86`` seconds of decoding instead of the full utterance;
+* each ready chunk is vocoded **incrementally**: the DAC decoder is
+  convolutional, so we re-decode a fixed ``lookback`` of preceding frames for
+  context and emit only the new samples.  With ``lookback`` ≥ the decoder
+  stack's receptive field (~40 frames for the 44.1 kHz model) the emitted
+  waveform is sample-identical to offline decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from parler_tts_tpu.core.config import GenerationConfig, ParlerTTSConfig
+from parler_tts_tpu.generation import sampling
+from parler_tts_tpu.generation.generate import DecodeState, _decoder_rows
+from parler_tts_tpu.models import dac as dac_mod
+from parler_tts_tpu.models import decoder as decoder_mod
+from parler_tts_tpu.models import parler
+from parler_tts_tpu.models.delay_pattern import build_delay_pattern, undelay_pattern
+from parler_tts_tpu.ops.nn import Params
+
+DEFAULT_LOOKBACK = 48  # frames; > DAC decoder receptive field
+
+
+class StreamChunk(NamedTuple):
+    audio: np.ndarray  # (B, chunk_samples) new samples
+    codes: np.ndarray  # (B, K, new_frames) undelayed codes for this chunk
+    frame_offset: int
+    finished: bool
+
+
+def stream_generate(
+    params: Params,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig,
+    *,
+    input_ids,
+    attention_mask=None,
+    prompt_input_ids,
+    prompt_attention_mask=None,
+    key,
+    max_length: int | None = None,
+    chunk_frames: int = 86,  # 1 s of audio per chunk
+    lookback: int = DEFAULT_LOOKBACK,
+    dtype=jnp.bfloat16,
+) -> Iterator[StreamChunk]:
+    """Yield ~``chunk_frames/86``-second audio chunks as they are generated."""
+    dcfg = cfg.decoder
+    b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
+    max_length = max_length or gen.max_length
+    use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
+
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+    if prompt_attention_mask is None:
+        prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
+
+    # ---- jitted prefill (same construction as generate_tokens) ----
+    @jax.jit
+    def prefill(params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key):
+        enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
+        enc_mask = attention_mask
+        if use_cfg:
+            enc_hidden = jnp.concatenate([enc_hidden, jnp.zeros_like(enc_hidden)], axis=0)
+            enc_mask = jnp.concatenate([enc_mask, jnp.zeros_like(enc_mask)], axis=0)
+        prompt_hidden = parler.embed_prompts(params, prompt_input_ids, dtype=dtype)
+        p_mask = prompt_attention_mask
+        if use_cfg:
+            prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
+            p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
+
+        start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
+        _, pattern, t0 = build_delay_pattern(
+            start_ids, bos_token_id=gen.bos_token_id, pad_token_id=gen.pad_token_id,
+            max_length=max_length,
+        )
+        tokens = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+        rows = 2 * b if use_cfg else b
+        p_len = prompt_hidden.shape[1]
+        cache = decoder_mod.init_cache(dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype)
+        fused_mask = jnp.concatenate(
+            [p_mask.astype(jnp.int32), jnp.ones((rows, max_length), jnp.int32)], axis=1
+        )
+        hidden, cache = decoder_mod.forward(
+            params["decoder"], dcfg, _decoder_rows(tokens[:, :, :t0], use_cfg),
+            prompt_hidden_states=prompt_hidden, encoder_hidden_states=enc_hidden,
+            encoder_attention_mask=enc_mask, attention_mask=fused_mask, cache=cache, dtype=dtype,
+        )
+        logits0 = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+        state = DecodeState(
+            t=jnp.asarray(t0, jnp.int32), tokens=tokens,
+            finished=jnp.zeros((b, num_codebooks), bool), cache=cache, logits=logits0, key=key,
+        )
+        return state, pattern, enc_mask, fused_mask
+
+    state, pattern, enc_mask, fused_mask = prefill(
+        params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key
+    )
+
+    eos, pad = gen.eos_token_id, gen.pad_token_id
+
+    # ---- jitted chunk stepper: run until chunk end or all finished ----
+    @jax.jit
+    def run_chunk(params, s: DecodeState, end: jnp.ndarray):
+        def cond(s):
+            return (s.t < end) & ~jnp.all(s.finished)
+
+        def body(s):
+            step_key = jax.random.fold_in(s.key, s.t)
+            logits = s.logits
+            if use_cfg:
+                logits = sampling.apply_cfg(logits[:b], logits[b:], gen.guidance_scale)
+            logits = sampling.process_logits(logits, gen)
+            sampled = sampling.select_tokens(step_key, logits, gen).astype(jnp.int32)
+            sampled = jnp.where(s.finished, pad, sampled)
+            pat_t = lax.dynamic_slice_in_dim(pattern, s.t, 1, axis=2)[:, :, 0]
+            token_t = jnp.where(pat_t == -1, sampled, pat_t)
+            new_finished = s.finished | (token_t == eos)
+            new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
+            hidden, new_cache = decoder_mod.forward(
+                params["decoder"], dcfg, _decoder_rows(token_t[:, :, None], use_cfg),
+                encoder_attention_mask=enc_mask, attention_mask=fused_mask,
+                cache=s.cache, dtype=dtype,
+            )
+            new_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+            return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
+
+        return lax.while_loop(cond, body, s)
+
+    # ---- jitted incremental vocoder over a static window ----
+    window = lookback + chunk_frames
+    hop = cfg.audio_encoder.hop_length
+    can_vocode = "audio_encoder" in params
+
+    @jax.jit
+    def vocode_window(params, codes_win):
+        return dac_mod.decode(params["audio_encoder"], cfg.audio_encoder, codes_win)
+
+    t = int(state.t)
+    emitted_frames = 0
+    while True:
+        end = min(t + chunk_frames, max_length)
+        state = run_chunk(params, state, jnp.asarray(end, jnp.int32))
+        t_now = int(state.t)  # forces chunk completion (host sync point)
+        tokens_np = np.asarray(state.tokens)
+        done = bool(np.asarray(jnp.all(state.finished))) or t_now >= max_length
+
+        codes_full = np.asarray(undelay_pattern(tokens_np[:, :, 1:]))
+        # frames fully determined so far: t_now - 1 written positions after
+        # BOS, minus the delay tail of K-1
+        ready = max(0, (t_now - 1) - (num_codebooks - 1))
+        new_frames = ready - emitted_frames
+        if new_frames <= 0 and not done:
+            t = t_now
+            continue
+        if new_frames > 0:
+            # clean specials then vocode a fixed window ending at `ready`
+            cb = cfg.audio_encoder.codebook_size
+            win_start = max(0, ready - window)
+            codes_win = codes_full[:, :, win_start:ready]
+            codes_win = np.where(codes_win >= cb, 0, codes_win)
+            pad_w = window - codes_win.shape[-1]
+            if pad_w:
+                codes_win = np.pad(codes_win, ((0, 0), (0, 0), (pad_w, 0)))
+            if can_vocode:
+                audio_win = np.asarray(vocode_window(params, codes_win))
+                new_audio = audio_win[:, -new_frames * hop:]
+            else:
+                new_audio = np.zeros((b, new_frames * hop), np.float32)
+            yield StreamChunk(
+                audio=new_audio,
+                codes=codes_full[:, :, emitted_frames:ready],
+                frame_offset=emitted_frames,
+                finished=done,
+            )
+            emitted_frames = ready
+        if done:
+            return
+        t = t_now
