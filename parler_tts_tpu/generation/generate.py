@@ -143,6 +143,7 @@ def generate_tokens(
         encoder_attention_mask=enc_mask,
         attention_mask=fused_mask,
         cache=cache,
+        prefill=True,
         dtype=dtype,
     )
     logits0 = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]  # (rows,K,V)

@@ -99,7 +99,8 @@ def stream_generate(
         hidden, cache = decoder_mod.forward(
             params["decoder"], dcfg, _decoder_rows(tokens[:, :, :t0], use_cfg),
             prompt_hidden_states=prompt_hidden, encoder_hidden_states=enc_hidden,
-            encoder_attention_mask=enc_mask, attention_mask=fused_mask, cache=cache, dtype=dtype,
+            encoder_attention_mask=enc_mask, attention_mask=fused_mask, cache=cache,
+            prefill=True, dtype=dtype,
         )
         logits0 = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
         state = DecodeState(

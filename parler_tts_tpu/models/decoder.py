@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from parler_tts_tpu.core.config import DecoderConfig
+from parler_tts_tpu.ops import runtime_flags
 from parler_tts_tpu.ops.nn import (
     ACTIVATIONS,
     NEG_INF,
@@ -113,13 +114,22 @@ def _self_attention(
     mask: jnp.ndarray | None,
     cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,
     index: jnp.ndarray | None,
+    kv_pad_mask: jnp.ndarray | None = None,
+    flash_ctx: jnp.ndarray | None = None,
 ):
     """Returns (out, (k, v)) — k/v are the updated full-length buffers when a
-    cache is used, else the sequence k/v."""
+    cache is used, else the sequence k/v.
+
+    Single-token cached decode uses the pallas ``decode_attention`` kernel on
+    TPU: only the valid prefix of the KV buffer is streamed from HBM
+    (``ops/pallas/decode_attention.py``); ``kv_pad_mask`` (B, T_max) carries
+    prompt left-padding.
+    """
     scale = cfg.head_dim**-0.5
     q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
     k = split_heads(dense(p["k"], x), cfg.num_attention_heads)
     v = split_heads(dense(p["v"], x), cfg.num_attention_heads)
+    k_local, v_local = k, v
 
     if cache_kv is not None:
         ck, cv = cache_kv
@@ -127,11 +137,40 @@ def _self_attention(
         v = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, index, 0))
 
     dtype = q.dtype
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
-    if mask is not None:
-        scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+    if q.shape[2] > 1 and flash_ctx is not None and runtime_flags.use_pallas():
+        # full-sequence (training / prefill-from-0) path: pallas flash
+        # attention over the locally-computed K/V — no score materialization
+        from parler_tts_tpu.ops.pallas.flash_attention import flash_attention_bhtd
+
+        kv_mask2d = flash_ctx
+        out = flash_attention_bhtd(
+            q, k_local.astype(dtype), v_local.astype(dtype), kv_mask2d,
+            scale=1.0, causal=True,  # q pre-scaled
+        )
+    elif cache_kv is not None and q.shape[2] == 1 and runtime_flags.use_pallas():
+        from parler_tts_tpu.ops.pallas.decode_attention import decode_attention
+
+        b, h, t_max, d = k.shape
+        start = None
+        if kv_pad_mask is not None:
+            # padding is a contiguous left prefix (left-padded prompts):
+            # first valid position per row, broadcast over heads
+            row_start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
+            start = jnp.repeat(row_start, h)
+        out = decode_attention(
+            q.reshape(b * h, 1, d),
+            k.reshape(b * h, t_max, d).astype(dtype),
+            v.reshape(b * h, t_max, d).astype(dtype),
+            index + 1,
+            start,
+            scale=1.0,  # q is pre-scaled
+        ).reshape(b, h, 1, d)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
     return dense(p["o"], merge_heads(out)), (k, v)
 
 
@@ -171,10 +210,14 @@ def _layer(
     self_cache,
     cross_cache,
     index,
+    kv_pad_mask=None,
+    flash_ctx=None,
 ):
     act = ACTIVATIONS[cfg.activation_function]
     h = layer_norm(lp["ln_self"], x)
-    attn_out, self_kv = _self_attention(lp["self_attn"], cfg, h, self_mask, self_cache, index)
+    attn_out, self_kv = _self_attention(
+        lp["self_attn"], cfg, h, self_mask, self_cache, index, kv_pad_mask, flash_ctx
+    )
     x = x + attn_out
 
     cross_kv = None
@@ -199,6 +242,7 @@ def forward(
     encoder_attention_mask: jnp.ndarray | None = None,
     attention_mask: jnp.ndarray | None = None,
     cache: KVCache | None = None,
+    prefill: bool = False,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
@@ -211,6 +255,10 @@ def forward(
     ``attention_mask`` (B, T_fused) covers the *fused* sequence (prompt +
     codec frames), 1 = valid; None = all valid.  Returns (hidden (B, T_fused,
     H), updated cache).  LM heads are applied separately via :func:`logits`.
+
+    ``prefill=True`` declares (statically) that ``cache.index == 0``, which
+    lets the full-sequence pallas flash-attention path run over the local
+    K/V instead of the whole cache buffer.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_codebooks(params, decoder_input_ids).astype(dtype)
@@ -227,6 +275,14 @@ def forward(
     x = inputs_embeds + positions.astype(dtype)[None]
 
     # self-attention mask: causal over absolute fused positions + padding
+    kv_pad_mask = None
+    flash_ctx = None
+    if t_fused > 1 and (cache is None or prefill):
+        flash_ctx = (
+            attention_mask[:, :t_fused].astype(jnp.int8)
+            if attention_mask is not None
+            else jnp.ones((b, t_fused), jnp.int8)
+        )
     if cache is not None:
         t_max = cache.self_k.shape[3]
         key_pos = jnp.arange(t_max)[None, None, None, :]
@@ -235,6 +291,7 @@ def forward(
         if attention_mask is not None:
             pad = jnp.pad(attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])), constant_values=1)
             self_mask = self_mask & pad[:, None, None, :].astype(bool)
+            kv_pad_mask = pad.astype(jnp.int8)
     else:
         q_pos = jnp.arange(t_fused)[None, None, :, None]
         key_pos = jnp.arange(t_fused)[None, None, None, :]
@@ -257,7 +314,7 @@ def forward(
             lp, sk, sv, ck, cv = s
             x, self_kv, cross_kv = _layer(
                 lp, cfg, x, self_mask, enc, enc_mask, (sk, sv),
-                (ck, cv) if use_cross_cache else None, past_len,
+                (ck, cv) if use_cross_cache else None, past_len, kv_pad_mask, flash_ctx,
             )
             new_ck, new_cv = cross_kv if cross_kv is not None else (ck, cv)
             return x, (self_kv[0], self_kv[1], new_ck, new_cv)
@@ -268,7 +325,7 @@ def forward(
         new_cache = KVCache(nsk, nsv, nck, ncv, past_len + t_fused)
     else:
         def scan_body(x, lp):
-            x, _, _ = _layer(lp, cfg, x, self_mask, enc, enc_mask, None, None, 0)
+            x, _, _ = _layer(lp, cfg, x, self_mask, enc, enc_mask, None, None, 0, None, flash_ctx)
             return x, None
 
         x, _ = lax.scan(scan_body, x, layers)

@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: single-query cached attention for the decode loop.
+
+The XLA fallback attends over the FULL static KV buffer every step
+(``models/decoder.py`` masks invalid positions but still streams them from
+HBM).  At 30 s utterances the cache is (24L, B, 16H, ~2600, 64) — reading the
+dead tail dominates HBM traffic early in generation.  This kernel uses
+scalar-prefetched ``length`` so the block index_map *clamps* out-of-range
+blocks to the last valid one — Mosaic skips the DMA when the block index
+repeats, so only ``ceil(length/block_k)`` KV blocks are ever fetched.
+
+Prompt left-padding is expressed as a per-row ``start`` index (first valid
+KV position) instead of a dense mask: padding in this framework is always a
+contiguous left prefix (reference left-pads prompts,
+``training/run_parler_tts_training.py:910-917``), and a scalar start avoids
+mask operands that violate TPU (8, 128) tiling.
+
+Semantics match ``ops/nn.attention_scores`` for a single query position:
+out = softmax(q·K^T * scale + mask) · V, fp32 accumulation, finite
+``NEG_INF`` masking.  (Degenerate fully-masked rows — impossible in decode
+self-attention, where the current position is always valid — give uniform
+attention over the valid-length prefix.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+            *, block_k: int, scale: float, t_total: int):
+    bh_i, j = pl.program_id(0), pl.program_id(1)
+    limit = pl.cdiv(len_ref[0], block_k)  # valid kv blocks
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(j < limit)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # (1, D)
+        k = k_ref[0].astype(jnp.float32)  # (bk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (1, bk)
+        kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        valid = (kv_pos < len_ref[0]) & (kv_pos >= start_ref[bh_i])
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[...]  # (1, 1) — scalar stores to VMEM are rejected
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (1, bk); explicit 0:
+        # OOB-padded V rows may hold NaN and 0*NaN would poison the dot
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        # zero OOB rows of the ragged tail block: memory there may be NaN
+        row_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        v = jnp.where(row_pos < t_total, v_ref[0].astype(jnp.float32), 0.0)  # (bk, D)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    length: jnp.ndarray,
+    start: jnp.ndarray | None = None,
+    *,
+    scale: float = 1.0,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: (BH, 1, D) single query per row; k/v: (BH, T, D); length: scalar
+    int32 count of valid positions; start: (BH,) int32 first valid position
+    per row (contiguous left padding).  Returns (BH, 1, D).  Only
+    ``ceil(length/block_k)`` KV blocks are read from HBM."""
+    bh, t, d = k.shape
+    nk = pl.cdiv(t, block_k)
+    if start is None:
+        start = jnp.zeros((bh,), jnp.int32)
+    start = start.astype(jnp.int32)
+    length = jnp.reshape(length, (1,)).astype(jnp.int32)
+
+    def clamp_map(bh_i, j, lens, starts):
+        limit = (lens[0] + block_k - 1) // block_k
+        return (bh_i, jnp.minimum(j, jnp.maximum(limit - 1, 0)), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), clamp_map),
+            pl.BlockSpec((1, block_k, d), clamp_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, block_k=block_k, scale=scale, t_total=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, 1, d), q.dtype),
+        interpret=interpret,
+    )(length, start, q, k, v)
+
+
+def decode_attention_reference(q, k, v, length, start=None, *, scale=1.0):
+    """XLA reference implementation (same semantics) for parity tests."""
+    bh, t, d = k.shape
+    pos = jnp.arange(t)[None, :]
+    pos_ok = pos < length
+    if start is not None:
+        pos_ok = pos_ok & (pos >= start[:, None])
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    s = jnp.where(pos_ok[:, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)

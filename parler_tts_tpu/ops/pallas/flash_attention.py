@@ -1,0 +1,366 @@
+"""Pallas TPU flash attention (forward + backward) for the training path.
+
+The reference uses eager O(T²)-materialized attention (explicit ``bmm`` +
+softmax, ``/root/reference/parler_tts/modeling_parler_tts.py:320-382``; flash
+attention is listed as future work in its README).  Training sequences here
+are ``prompt + 2580`` codec frames, so materializing (B, 16, T, T) fp32
+scores is both HBM-bandwidth- and memory-hostile; this kernel computes
+attention blockwise with online softmax, never materializing scores.
+
+Key padding is expressed as per-row ``(kv_start, kv_end)`` bounds
+(scalar-prefetched) rather than a dense mask: every mask in this framework is
+a contiguous run — prompts are LEFT-padded (reference
+``run_parler_tts_training.py:910-917``), descriptions RIGHT-padded — and
+scalar bounds avoid mask operands that violate TPU (8, 128) tiling.
+
+Semantics (matching ``ops/nn.attention_scores``):
+* finite ``NEG_INF`` masking — fully-masked rows degrade to uniform
+  attention instead of NaN (left-padded prompt query rows);
+* fp32 softmax/accumulation regardless of input dtype;
+* optional causal masking with ``q_offset`` (absolute position of q[0]).
+
+Causal block skipping happens in the index_map (out-of-range KV blocks clamp
+to the diagonal block, so Mosaic skips the duplicate DMA) plus ``pl.when``
+around the compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+
+def _row_ok(offset, block, bound, width):
+    """(block, 1) bool: in-bounds rows of a tile starting at offset."""
+    pos = offset * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    del width
+    return pos < bound
+
+
+def _sanitize(x, ok):
+    """Zero out-of-bounds rows: OOB memory may hold NaN/Inf and 0*NaN would
+    poison dot-product accumulations."""
+    return jnp.where(ok, x, 0.0)
+
+
+def _causal_limit(i, q_offset, block_q, block_k):
+    """Highest KV block index the i-th query block may attend to."""
+    q_end = q_offset + (i + 1) * block_q - 1
+    return q_end // block_k
+
+
+def _kv_valid(start_ref, end_ref, bh, j, block_q, block_k, tk, causal, q_offset, i):
+    """(block_q, block_k) bool validity of kv positions for this block pair."""
+    k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    valid = (k_pos >= start_ref[bh]) & (k_pos < jnp.minimum(end_ref[bh], tk))
+    if causal:
+        q_pos = q_offset + i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        valid = valid & (k_pos <= q_pos)
+    return valid
+
+
+def _fwd_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s,
+                *, block_q, block_k, scale, causal, q_offset, nk, tk):
+    bh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    run = True
+    if causal:
+        run = j <= _causal_limit(i, q_offset, block_q, block_k)
+
+    @pl.when(run)
+    def _():
+        q_ok = _row_ok(i, block_q, q_ref.shape[1] * pl.num_programs(1), block_q)
+        k_ok = _row_ok(j, block_k, tk, block_k)
+        q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)  # (bq, D)
+        k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)  # (bk, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        valid = _kv_valid(start_ref, end_ref, bh, j, block_q, block_k, tk, causal, q_offset, i)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_s[...]  # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        # explicit zero (not exp(NEG_INF)): OOB-padded V rows may hold NaN and
+        # 0*NaN would poison the accumulation
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        l_s[...] = l_s[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_s[...] = acc_s[...] * corr + pv
+        m_s[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = jnp.maximum(l_s[...], 1e-30)
+        o_ref[0] = (acc_s[...] / l).astype(o_ref.dtype)
+        lse_ref[...] = (m_s[...] + jnp.log(l)).reshape(1, -1)
+
+
+def _fwd(q, k, v, kv_start, kv_end, *, scale, causal, q_offset, block_q, block_k, interpret):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    nq, nk = pl.cdiv(tq, block_q), pl.cdiv(tk, block_k)
+
+    def kv_map(bh_i, i, j, s, e):
+        if causal:
+            j = jnp.minimum(j, _causal_limit(i, q_offset, block_q, block_k))
+        return (bh_i, j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+            pl.BlockSpec((1, block_k, d), kv_map),
+            pl.BlockSpec((1, block_k, d), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k, scale=scale,
+                          causal=causal, q_offset=q_offset, nk=nk, tk=tk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kv_start, kv_end, q, k, v)
+    return out, lse
+
+
+def _dkv_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_s, dv_s,
+                *, block_q, block_k, scale, causal, q_offset, ni, tk):
+    bh, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)  # k-major, q inner
+
+    @pl.when(i == 0)
+    def _():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    run = True
+    if causal:
+        run = j <= _causal_limit(i, q_offset, block_q, block_k)
+
+    @pl.when(run)
+    def _():
+        tq_total = q_ref.shape[1] * pl.num_programs(2)
+        q_ok = _row_ok(i, block_q, tq_total, block_q)
+        k_ok = _row_ok(j, block_k, tk, block_k)
+        q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)
+        k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)
+        v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
+        do = _sanitize(do_ref[0].astype(jnp.float32), q_ok)
+        lse = _sanitize(lse_ref[0][:, None], q_ok)  # (bq, 1)
+        delta = _sanitize(delta_ref[0][:, None], q_ok)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        valid = _kv_valid(start_ref, end_ref, bh, j, block_q, block_k, tk, causal, q_offset, i)
+        valid = valid & q_ok  # zero OOB q rows (their lse is garbage)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (bq, bk)
+
+        dv_s[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_s[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_s,
+               *, block_q, block_k, scale, causal, q_offset, nk, tk):
+    bh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    run = True
+    if causal:
+        run = j <= _causal_limit(i, q_offset, block_q, block_k)
+
+    @pl.when(run)
+    def _():
+        tq_total = q_ref.shape[1] * pl.num_programs(1)
+        q_ok = _row_ok(i, block_q, tq_total, block_q)
+        k_ok = _row_ok(j, block_k, tk, block_k)
+        q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)
+        k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)
+        v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
+        do = _sanitize(do_ref[0].astype(jnp.float32), q_ok)
+        lse = _sanitize(lse_ref[0][:, None], q_ok)
+        delta = _sanitize(delta_ref[0][:, None], q_ok)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        valid = _kv_valid(start_ref, end_ref, bh, j, block_q, block_k, tk, causal, q_offset, i)
+        valid = valid & q_ok
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_s[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def flash_attention(q, k, v, kv_start, kv_end, scale=1.0, causal=True, q_offset=0,
+                    block_q=128, block_k=128, interpret=False):
+    """q: (BH, Tq, D); k/v: (BH, Tk, D); kv_start/kv_end: (BH,) int32 — keys
+    outside [start, end) are masked.  Returns (BH, Tq, D).  Differentiable
+    (flash backward, no score materialization)."""
+    out, _ = _fwd(q, k, v, kv_start, kv_end, scale=scale, causal=causal, q_offset=q_offset,
+                  block_q=block_q, block_k=block_k, interpret=interpret)
+    return out
+
+
+def _vjp_fwd(q, k, v, kv_start, kv_end, scale, causal, q_offset, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, kv_start, kv_end, scale=scale, causal=causal, q_offset=q_offset,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
+    return out, (q, k, v, kv_start, kv_end, out, lse)
+
+
+def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
+    q, k, v, kv_start, kv_end, out, lse = res
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    nq, nk = pl.cdiv(tq, block_q), pl.cdiv(tk, block_k)
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (BH, Tq)
+
+    def kv_map(bh_i, i, j, s, e):
+        if causal:
+            j = jnp.minimum(j, _causal_limit(i, q_offset, block_q, block_k))
+        return (bh_i, j, 0)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+            pl.BlockSpec((1, block_k, d), kv_map),
+            pl.BlockSpec((1, block_k, d), kv_map),
+            pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
+            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_q=block_q, block_k=block_k, scale=scale,
+                          causal=causal, q_offset=q_offset, nk=nk, tk=tk),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(kv_start, kv_end, q, k, v, do, lse, delta)
+
+    def q_map(bh_i, j, i, s, e):
+        # for k-block j, q blocks strictly below the diagonal contribute 0
+        if causal:
+            i_min = (j * block_k - q_offset) // block_q
+            i = jnp.maximum(i, jnp.maximum(i_min, 0))
+        return (bh_i, i, 0)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), q_map),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
+            pl.BlockSpec((1, block_q, d), q_map),
+            pl.BlockSpec((1, block_q), lambda bh_i, j, i, s, e: q_map(bh_i, j, i, s, e)[:2]),
+            pl.BlockSpec((1, block_q), lambda bh_i, j, i, s, e: q_map(bh_i, j, i, s, e)[:2]),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_q=block_q, block_k=block_k, scale=scale,
+                          causal=causal, q_offset=q_offset, ni=nq, tk=tk),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=interpret,
+    )(kv_start, kv_end, q, k, v, do, lse, delta)
+
+    return dq, dk, dv, None, None
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _round8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def flash_attention_bhtd(q, k, v, kv_mask=None, *, scale, causal=True, q_offset=0,
+                         block_q=128, block_k=128, interpret=False):
+    """(B, H, T, D) convenience wrapper.
+
+    ``kv_mask`` (B, Tk): validity mask whose valid region must be one
+    contiguous run (left- or right-padding — the only shapes this framework
+    produces); converted to per-row (start, end) bounds.
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block_q = min(block_q, _round8(tq))
+    block_k = min(block_k, _round8(tk))
+    if kv_mask is None:
+        start = jnp.zeros((b,), jnp.int32)
+        end = jnp.full((b,), tk, jnp.int32)
+    else:
+        m = kv_mask.astype(jnp.int32)
+        start = jnp.argmax(m, axis=1).astype(jnp.int32)
+        end = start + jnp.sum(m, axis=1).astype(jnp.int32)
+    start = jnp.repeat(start, h)
+    end = jnp.repeat(end, h)
+    out = flash_attention(
+        q.reshape(b * h, tq, d), k.reshape(b * h, tk, d), v.reshape(b * h, tk, d),
+        start, end, scale, causal, q_offset, block_q, block_k, interpret,
+    )
+    return out.reshape(b, h, tq, d)

@@ -1,0 +1,133 @@
+"""Pallas kernel parity (interpret mode on CPU; compiled path exercised on
+real TPU by bench.py / drives)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parler_tts_tpu.ops.pallas.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+)
+from parler_tts_tpu.ops.pallas.flash_attention import flash_attention_bhtd
+
+
+def ref_attn(q, k, v, kv_mask, scale, causal):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    mask = kv_mask[:, None, None, :] != 0
+    if causal:
+        tq, tk = q.shape[2], k.shape[2]
+        mask = mask & (jnp.arange(tk)[None, :] <= jnp.arange(tq)[:, None])[None, None]
+    s = jnp.where(mask, s, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("length", [5, 37, 256, 301, 512])
+def test_decode_attention_matches_reference(length):
+    rng = np.random.default_rng(0)
+    BH, T, D = 8, 512, 64
+    q = rng.standard_normal((BH, 1, D)).astype(np.float32)
+    k = rng.standard_normal((BH, T, D)).astype(np.float32)
+    v = rng.standard_normal((BH, T, D)).astype(np.float32)
+    start = np.array([0, 3, 0, 300, 0, 0, 1, 2], np.int32)
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length), jnp.asarray(start), scale=0.125
+    )
+    out = decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length), jnp.asarray(start),
+        scale=0.125, interpret=True,
+    )
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    if length <= 300:
+        d[3] = 0  # row with start=300 is fully masked -> degenerate
+    assert d.max() < 1e-5
+
+
+@pytest.mark.parametrize("shape,pad", [((2, 3, 256, 64), 70), ((1, 2, 40, 32), 5), ((2, 2, 300, 64), 0)])
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_forward_matches_reference(shape, pad, causal):
+    rng = np.random.default_rng(0)
+    B, H, T, D = shape
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    v = rng.standard_normal(shape).astype(np.float32)
+    kv_mask = np.ones((B, T), np.int8)
+    kv_mask[0, :pad] = 0
+    out = flash_attention_bhtd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_mask),
+        scale=0.125, causal=causal, interpret=True,
+    )
+    ref = ref_attn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kv_mask), 0.125, causal)
+    diff = np.abs(np.asarray(out) - np.asarray(ref))
+    if causal and pad:
+        diff[0, :, :pad] = 0  # fully-masked query rows are degenerate
+    assert diff.max() < 1e-5
+
+
+def test_flash_backward_matches_reference():
+    rng = np.random.default_rng(1)
+    B, H, T, D, pad = 2, 3, 256, 64, 70
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    kv_mask = np.ones((B, T), np.int8)
+    kv_mask[0, :pad] = 0
+    kv_mask = jnp.asarray(kv_mask)
+    w = jnp.where((jnp.arange(T) >= pad)[None, None, :, None], 1.0, 0.0)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_bhtd(q, k, v, kv_mask, scale=0.125, causal=True, interpret=True)
+        return jnp.sum(jnp.sin(o) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(ref_attn(q, k, v, kv_mask, 0.125, True)) * w)
+
+    gf = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_train_forward_flash_equals_xla():
+    """End-to-end: dummy composite training loss identical with flash (interpret)
+    vs the XLA attention path."""
+    import parler_tts_tpu.ops.pallas.flash_attention as FA
+    from parler_tts_tpu.core.config import dummy_config
+    from parler_tts_tpu.models import parler
+    from parler_tts_tpu.models.delay_pattern import build_delay_pattern_labels
+    from parler_tts_tpu.ops import runtime_flags
+
+    cfg = dummy_config()
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, (2, 9, 20))
+    labels = build_delay_pattern_labels(
+        codes, np.array([20, 15]), bos_token_id=1025, eos_token_id=1024, max_length=32
+    )
+    batch = dict(
+        input_ids=rng.integers(0, 32128, (2, 12)),
+        attention_mask=np.ones((2, 12), np.int32),
+        prompt_input_ids=rng.integers(0, 32128, (2, 8)),
+        prompt_attention_mask=np.ones((2, 8), np.int32),
+        labels=jnp.asarray(labels),
+    )
+    runtime_flags.set_pallas(False)
+    try:
+        loss_xla, logits_xla = parler.train_forward(params, cfg, **batch)
+    finally:
+        runtime_flags.set_pallas(None)
+
+    orig = FA.flash_attention_bhtd
+    FA.flash_attention_bhtd = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    runtime_flags.set_pallas(True)
+    try:
+        loss_p, logits_p = parler.train_forward(params, cfg, **batch)
+    finally:
+        runtime_flags.set_pallas(None)
+        FA.flash_attention_bhtd = orig
+
+    np.testing.assert_allclose(float(loss_p), float(loss_xla), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_xla), atol=1e-4)
