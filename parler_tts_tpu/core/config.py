@@ -242,6 +242,29 @@ def mini_600m_config() -> ParlerTTSConfig:
     )
 
 
+def large_2b_config() -> ParlerTTSConfig:
+    """Large-class decoder (~2B params: 36L x 2048h x 32 heads, ffn 8192) for
+    tensor-parallel sharding across chips (BASELINE.json config 3).  Text
+    encoder steps up to flan-t5-large geometry."""
+    return ParlerTTSConfig(
+        vocab_size=32128,
+        text_encoder=T5EncoderConfig(d_model=1024, d_kv=64, d_ff=2816, num_layers=24, num_heads=16),
+        audio_encoder=DACConfig(),
+        decoder=DecoderConfig(
+            vocab_size=1088,
+            max_position_embeddings=4096,
+            num_hidden_layers=36,
+            ffn_dim=8192,
+            num_attention_heads=32,
+            hidden_size=2048,
+            num_codebooks=9,
+            pad_token_id=1024,
+            eos_token_id=1024,
+            bos_token_id=1025,
+        ),
+    )
+
+
 def dummy_config(num_codebooks: int = 9) -> ParlerTTSConfig:
     """Tiny smoke-test assembly mirroring reference init_dummy_model.py:25-42."""
     return ParlerTTSConfig(

@@ -67,7 +67,7 @@ def _kv_valid(start_ref, end_ref, bh, j, block_q, block_k, tk, causal, q_offset,
 
 
 def _fwd_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s,
-                *, block_q, block_k, scale, causal, q_offset, nk, tk):
+                *, block_q, block_k, scale, causal, q_offset, nk, tk, tq):
     bh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -82,7 +82,7 @@ def _fwd_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_
 
     @pl.when(run)
     def _():
-        q_ok = _row_ok(i, block_q, q_ref.shape[1] * pl.num_programs(1), block_q)
+        q_ok = _row_ok(i, block_q, tq, block_q)
         k_ok = _row_ok(j, block_k, tk, block_k)
         q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)  # (bq, D)
         k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)  # (bk, D)
@@ -107,7 +107,7 @@ def _fwd_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_
     def _():
         l = jnp.maximum(l_s[...], 1e-30)
         o_ref[0] = (acc_s[...] / l).astype(o_ref.dtype)
-        lse_ref[...] = (m_s[...] + jnp.log(l)).reshape(1, -1)
+        lse_ref[0] = m_s[...] + jnp.log(l)  # (bq, 1)
 
 
 def _fwd(q, k, v, kv_start, kv_end, *, scale, causal, q_offset, block_q, block_k, interpret):
@@ -130,7 +130,7 @@ def _fwd(q, k, v, kv_start, kv_end, *, scale, causal, q_offset, block_q, block_k
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -140,11 +140,11 @@ def _fwd(q, k, v, kv_start, kv_end, *, scale, causal, q_offset, block_q, block_k
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k, scale=scale,
-                          causal=causal, q_offset=q_offset, nk=nk, tk=tk),
+                          causal=causal, q_offset=q_offset, nk=nk, tk=tk, tq=tq),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(kv_start, kv_end, q, k, v)
@@ -153,7 +153,7 @@ def _fwd(q, k, v, kv_start, kv_end, *, scale, causal, q_offset, block_q, block_k
 
 def _dkv_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_s, dv_s,
-                *, block_q, block_k, scale, causal, q_offset, ni, tk):
+                *, block_q, block_k, scale, causal, q_offset, ni, tk, tq):
     bh, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)  # k-major, q inner
 
     @pl.when(i == 0)
@@ -167,15 +167,14 @@ def _dkv_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
 
     @pl.when(run)
     def _():
-        tq_total = q_ref.shape[1] * pl.num_programs(2)
-        q_ok = _row_ok(i, block_q, tq_total, block_q)
+        q_ok = _row_ok(i, block_q, tq, block_q)
         k_ok = _row_ok(j, block_k, tk, block_k)
         q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)
         k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)
         v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
         do = _sanitize(do_ref[0].astype(jnp.float32), q_ok)
-        lse = _sanitize(lse_ref[0][:, None], q_ok)  # (bq, 1)
-        delta = _sanitize(delta_ref[0][:, None], q_ok)
+        lse = _sanitize(lse_ref[0], q_ok)  # (bq, 1)
+        delta = _sanitize(delta_ref[0], q_ok)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -199,7 +198,7 @@ def _dkv_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
 
 def _dq_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, dq_s,
-               *, block_q, block_k, scale, causal, q_offset, nk, tk):
+               *, block_q, block_k, scale, causal, q_offset, nk, tk, tq):
     bh, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -212,15 +211,14 @@ def _dq_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
 
     @pl.when(run)
     def _():
-        tq_total = q_ref.shape[1] * pl.num_programs(1)
-        q_ok = _row_ok(i, block_q, tq_total, block_q)
+        q_ok = _row_ok(i, block_q, tq, block_q)
         k_ok = _row_ok(j, block_k, tk, block_k)
         q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)
         k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)
         v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
         do = _sanitize(do_ref[0].astype(jnp.float32), q_ok)
-        lse = _sanitize(lse_ref[0][:, None], q_ok)
-        delta = _sanitize(delta_ref[0][:, None], q_ok)
+        lse = _sanitize(lse_ref[0], q_ok)
+        delta = _sanitize(delta_ref[0], q_ok)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -261,7 +259,7 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
     tk = k.shape[1]
     nq, nk = pl.cdiv(tq, block_q), pl.cdiv(tk, block_k)
 
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (BH, Tq)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, Tq, 1)
 
     def kv_map(bh_i, i, j, s, e):
         if causal:
@@ -276,15 +274,15 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, block_k, d), kv_map),
             pl.BlockSpec((1, block_k, d), kv_map),
             pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
-            pl.BlockSpec((1, block_q), lambda bh_i, i, j, s, e: (bh_i, i)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh_i, i, j, s, e: (bh_i, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
     )
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_q=block_q, block_k=block_k, scale=scale,
-                          causal=causal, q_offset=q_offset, nk=nk, tk=tk),
+                          causal=causal, q_offset=q_offset, nk=nk, tk=tk, tq=tq),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
@@ -305,8 +303,8 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
             pl.BlockSpec((1, block_q, d), q_map),
-            pl.BlockSpec((1, block_q), lambda bh_i, j, i, s, e: q_map(bh_i, j, i, s, e)[:2]),
-            pl.BlockSpec((1, block_q), lambda bh_i, j, i, s, e: q_map(bh_i, j, i, s, e)[:2]),
+            pl.BlockSpec((1, block_q, 1), q_map),
+            pl.BlockSpec((1, block_q, 1), q_map),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bh_i, j, i, s, e: (bh_i, j, 0)),
@@ -319,7 +317,7 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
     )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_q=block_q, block_k=block_k, scale=scale,
-                          causal=causal, q_offset=q_offset, ni=nq, tk=tk),
+                          causal=causal, q_offset=q_offset, ni=nq, tk=tk, tq=tq),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),

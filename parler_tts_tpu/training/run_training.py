@@ -129,10 +129,13 @@ def main(argv: list[str] | None = None) -> dict:
     from parler_tts_tpu.training.data import Collator, batches
     from parler_tts_tpu.training.logging_utils import MetricLogger
 
+    from parler_tts_tpu.parallel import distributed as dist
+
     model_args, data_args, train_args = parse_args(argv)
     np.random.seed(train_args.seed)
 
-    # ----- mesh (replaces Accelerate/DDP init, reference :819-830) -----
+    # ----- multi-host + mesh (replaces Accelerate/DDP init, :819-830) -----
+    dist.initialize()
     n_dev = len(jax.devices())
     model_par = min(train_args.model_parallel_size, n_dev)
     mesh = pmesh.make_mesh(data=n_dev // model_par, model=model_par)
@@ -153,6 +156,10 @@ def main(argv: list[str] | None = None) -> dict:
         samples = prepare_hf(data_args, model_args, cfg, params.get("audio_encoder"))
     if data_args.max_train_samples:
         samples = samples[: data_args.max_train_samples]
+    if jax.process_count() > 1:
+        # per-host shard of the dataset (replaces Accelerate dispatch,
+        # reference :1137-1145); global batch assembled across hosts below
+        samples = dist.process_shard(samples)
     if data_args.preprocessing_only:  # reference escape hatch :415-426
         print(f"preprocessing_only: prepared {len(samples)} samples")
         return {"samples": len(samples)}
@@ -224,9 +231,10 @@ def main(argv: list[str] | None = None) -> dict:
     micro = 0
     t_start = time.time()
     stop = False
+    per_host_step = max(1, per_step // jax.process_count())
     for epoch in range(start_epoch, math.ceil(train_args.num_train_epochs)):
-        for batch in batches(samples, collator, per_step, seed=train_args.seed + epoch):
-            batch = pmesh.shard_batch(batch, mesh)
+        for batch in batches(samples, collator, per_host_step, seed=train_args.seed + epoch):
+            batch = dist.host_local_to_global(batch, mesh)
             state, metrics = train_step(state, frozen, batch)
             micro += 1
             if micro % max(1, train_args.gradient_accumulation_steps):
@@ -246,7 +254,7 @@ def main(argv: list[str] | None = None) -> dict:
             if train_args.do_eval and train_args.eval_steps and step_i % train_args.eval_steps == 0:
                 losses = []
                 for ebatch in batches(samples[: 4 * per_step], collator, per_step, shuffle=False):
-                    ebatch = pmesh.shard_batch(ebatch, mesh)
+                    ebatch = dist.host_local_to_global(ebatch, mesh)
                     losses.append(float(eval_step(tstep.merge_params(state.params, frozen), ebatch)["loss"]))
                 logger.log({"loss": float(np.mean(losses))}, step=step_i, prefix="eval")
             if train_args.max_steps > 0 and step_i >= train_args.max_steps:
