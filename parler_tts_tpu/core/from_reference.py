@@ -1,0 +1,139 @@
+"""Load a reference (HF parler-tts) checkpoint directory into this framework.
+
+A reference checkpoint dir (``save_pretrained`` output of
+``ParlerTTSForConditionalGeneration``) holds ``config.json`` (nested
+text_encoder/audio_encoder/decoder sub-configs — reference
+``configuration_parler_tts.py:130-238``), weights
+(``model.safetensors``/``pytorch_model.bin``, possibly sharded) and
+``generation_config.json``.  This module maps all of it onto our config
+dataclasses + parameter pytrees — the migration path for
+``parler-tts/parler_tts_mini_v0.1`` users (BASELINE.md allclose gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from parler_tts_tpu.core.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5EncoderConfig,
+)
+from parler_tts_tpu.core import torch_import as ti
+
+
+def load_reference_state_dict(model_dir: str) -> dict[str, np.ndarray]:
+    """Read safetensors (preferred) or torch .bin weights, sharded or not."""
+    idx_st = os.path.join(model_dir, "model.safetensors.index.json")
+    idx_pt = os.path.join(model_dir, "pytorch_model.bin.index.json")
+    files: list[str] = []
+    if os.path.exists(idx_st) or os.path.exists(idx_pt):
+        with open(idx_st if os.path.exists(idx_st) else idx_pt) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+    else:
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            if os.path.exists(os.path.join(model_dir, cand)):
+                files = [cand]
+                break
+    if not files:
+        raise FileNotFoundError(f"no weights found in {model_dir}")
+
+    sd: dict[str, np.ndarray] = {}
+    for fname in files:
+        path = os.path.join(model_dir, fname)
+        if fname.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd.update(load_file(path))
+        else:
+            import torch
+
+            state = torch.load(path, map_location="cpu", weights_only=True)
+            sd.update({k: v.numpy() for k, v in state.items()})
+    return sd
+
+
+def config_from_reference(config_json: dict) -> ParlerTTSConfig:
+    """Reference nested config.json -> our composite config."""
+    te = config_json["text_encoder"]
+    ae = config_json["audio_encoder"]
+    de = config_json["decoder"]
+    ff_proj = te.get("feed_forward_proj", "gated-gelu")
+    gated = ff_proj.startswith("gated")
+    return ParlerTTSConfig(
+        vocab_size=config_json.get("vocab_size", 32128),
+        text_encoder=T5EncoderConfig(
+            vocab_size=te.get("vocab_size", 32128),
+            d_model=te.get("d_model", 768),
+            d_kv=te.get("d_kv", 64),
+            d_ff=te.get("d_ff", 2048),
+            num_layers=te.get("num_layers", 12),
+            num_heads=te.get("num_heads", 12),
+            relative_attention_num_buckets=te.get("relative_attention_num_buckets", 32),
+            relative_attention_max_distance=te.get("relative_attention_max_distance", 128),
+            layer_norm_epsilon=te.get("layer_norm_epsilon", 1e-6),
+            dense_act_fn=te.get("dense_act_fn", "gelu_new" if gated else "relu"),
+            is_gated_act=te.get("is_gated_act", gated),
+            dropout_rate=te.get("dropout_rate", 0.1),
+        ),
+        audio_encoder=DACConfig(
+            num_codebooks=ae.get("num_codebooks", 9),
+            model_bitrate=ae.get("model_bitrate", 8),
+            codebook_size=ae.get("codebook_size", 1024),
+            latent_dim=ae.get("latent_dim", 1024),
+            frame_rate=ae.get("frame_rate", 86),
+            sampling_rate=ae.get("sampling_rate", 44100),
+        ),
+        decoder=DecoderConfig(
+            vocab_size=de.get("vocab_size", 1088),
+            hidden_size=de.get("hidden_size", 1024),
+            num_hidden_layers=de.get("num_hidden_layers", 24),
+            num_attention_heads=de.get("num_attention_heads", 16),
+            ffn_dim=de.get("ffn_dim", 4096),
+            num_codebooks=de.get("num_codebooks", 9),
+            max_position_embeddings=de.get("max_position_embeddings", 4096),
+            activation_function=de.get("activation_function", "gelu"),
+            scale_embedding=de.get("scale_embedding", False),
+            pad_token_id=de.get("pad_token_id", 1024),
+            bos_token_id=de.get("bos_token_id", 1025),
+            eos_token_id=de.get("eos_token_id", 1024),
+        ),
+    )
+
+
+def generation_config_from_reference(gen_json: dict, cfg: ParlerTTSConfig) -> GenerationConfig:
+    return GenerationConfig(
+        max_length=gen_json.get("max_length", 2580),
+        do_sample=gen_json.get("do_sample", True),
+        temperature=gen_json.get("temperature", 1.0),
+        top_k=gen_json.get("top_k", 50),  # HF default warper
+        top_p=gen_json.get("top_p", 1.0),
+        guidance_scale=gen_json.get("guidance_scale") or 1.0,
+        decoder_start_token_id=gen_json.get("decoder_start_token_id", cfg.decoder.bos_token_id),
+        pad_token_id=gen_json.get("pad_token_id", cfg.decoder.pad_token_id),
+        bos_token_id=gen_json.get("bos_token_id", cfg.decoder.bos_token_id),
+        eos_token_id=gen_json.get("eos_token_id", cfg.decoder.eos_token_id),
+    )
+
+
+def from_reference_pretrained(model_dir: str) -> tuple[Any, ParlerTTSConfig, GenerationConfig]:
+    """Reference checkpoint dir -> (params, config, generation_config)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = config_from_reference(json.load(f))
+    gen_path = os.path.join(model_dir, "generation_config.json")
+    gen = GenerationConfig()
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gen = generation_config_from_reference(json.load(f), cfg)
+
+    sd = load_reference_state_dict(model_dir)
+    from parler_tts_tpu.models.parler import import_composite
+
+    params = import_composite(sd, cfg)
+    return params, cfg, gen

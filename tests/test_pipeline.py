@@ -1,0 +1,136 @@
+"""End-to-end user surface: pipeline.tts + the demo HTTP server
+(text in -> WAV audio out), with a locally-built tokenizer."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from parler_tts_tpu.core import checkpoint as ck
+from parler_tts_tpu.core.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5EncoderConfig,
+)
+from parler_tts_tpu.models import parler
+from parler_tts_tpu.pipeline import ParlerTTSPipeline
+from parler_tts_tpu.utils.audio_io import read_wav
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    import jax
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    base = tmp_path_factory.mktemp("artifact")
+    tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.WordPieceTrainer(vocab_size=150, special_tokens=["[UNK]", "[PAD]", "</s>"])
+    tok.train_from_iterator(
+        ["a female speaker with a low pitched voice", "hey how are you doing today",
+         "clear audio quality speaks fast"], trainer
+    )
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]", eos_token="</s>")
+    tok_dir = str(base / "tok")
+    fast.save_pretrained(tok_dir)
+
+    cfg = ParlerTTSConfig(
+        vocab_size=160,
+        text_encoder=T5EncoderConfig(vocab_size=160, d_model=24, d_kv=6, d_ff=48, num_layers=1, num_heads=4),
+        audio_encoder=DACConfig(
+            num_codebooks=4, codebook_size=32, codebook_dim=4, latent_dim=16,
+            encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=16,
+            upsampling_ratios=(4, 2), sampling_rate=16000, frame_rate=2000,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+            ffn_dim=64, num_codebooks=4, max_position_embeddings=256,
+            pad_token_id=32, eos_token_id=32, bos_token_id=33, dropout=0.0,
+        ),
+    )
+    params = parler.init(jax.random.PRNGKey(0), cfg)
+    gen = GenerationConfig(
+        max_length=20, do_sample=True, top_k=10,
+        decoder_start_token_id=33, pad_token_id=32, bos_token_id=33, eos_token_id=32,
+    )
+    model_dir = str(base / "model")
+    ck.save_model(model_dir, params, cfg, gen)
+    return model_dir, tok_dir
+
+
+def test_pipeline_tts(artifact):
+    model_dir, tok_dir = artifact
+    pipe = ParlerTTSPipeline.from_pretrained(model_dir, tokenizer_name=tok_dir, dtype=np.float32)
+    sr, wavs = pipe.tts(
+        ["a female speaker with a low pitched voice", "clear audio quality"],
+        ["hey how are you", "doing today"],
+        seed=3,
+    )
+    assert sr == 16000
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1
+        # random-weight models may emit EOS at step 1 -> legitimately empty
+        if w.size:
+            assert np.abs(w).max() <= 1.0
+
+
+def test_demo_http_server(artifact):
+    """The stdlib demo server returns a valid WAV from POST /api."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("demo_app", "/root/repo/helpers/gradio_demo/app.py")
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    model_dir, tok_dir = artifact
+    pipe = ParlerTTSPipeline.from_pretrained(model_dir, tokenizer_name=tok_dir, dtype=np.float32)
+
+    from http.server import HTTPServer
+
+    # build the handler the same way run_http does, but bind port 0
+    import io
+
+    server_holder = {}
+
+    def serve():
+        import helpers  # noqa: F401
+
+        # reuse run_http's handler by monkeypatching HTTPServer.serve_forever
+        orig_init = HTTPServer.__init__
+
+        def patched_init(self, addr, handler):
+            orig_init(self, ("127.0.0.1", 0), handler)
+            server_holder["server"] = self
+
+        HTTPServer.__init__ = patched_init
+        try:
+            demo.run_http(pipe, 0)
+        except Exception:
+            pass
+        finally:
+            HTTPServer.__init__ = orig_init
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        if "server" in server_holder:
+            break
+        time.sleep(0.1)
+    port = server_holder["server"].server_address[1]
+
+    data = b"description=a+female+speaker&prompt=hey+how+are+you&seed=1&max_seconds=0.005"
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/api", data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "audio/wav"
+        wav_data = resp.read()
+    audio, sr = read_wav(__import__("io").BytesIO(wav_data))
+    assert sr == 16000
+    assert audio.ndim == 2  # (channels, samples); may be empty if EOS at step 1
+    server_holder["server"].shutdown()
