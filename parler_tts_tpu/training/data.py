@@ -242,12 +242,31 @@ class Collator:
 
 
 def batches(dataset: Sequence[dict], collator: Collator, batch_size: int, *,
-            seed: int = 0, shuffle: bool = True, drop_last: bool = True) -> Iterator[dict]:
-    """Epoch iterator with per-epoch shuffle (reference ``:1559``)."""
+            seed: int = 0, shuffle: bool = True, drop_last: bool = True,
+            group_by_length: bool = False) -> Iterator[dict]:
+    """Epoch iterator with per-epoch shuffle (reference ``:1559``).
+
+    ``group_by_length`` emulates the reference's ``LengthGroupedSampler``
+    (``:1561-1562``): shuffle, then sort within mega-chunks of 50 batches by
+    label length so batches are length-homogeneous (less padding waste)
+    while retaining epoch-level randomness.
+    """
     idx = np.arange(len(dataset))
+    rng = np.random.default_rng(seed)
     if shuffle:
-        np.random.default_rng(seed).shuffle(idx)
+        rng.shuffle(idx)
+    if group_by_length:
+        lengths = np.asarray([int(np.sum(np.asarray(dataset[int(j)]["labels"])[0] != -100)) for j in idx])
+        mega = batch_size * 50
+        chunks = []
+        for i in range(0, len(idx), mega):
+            sl = idx[i : i + mega]
+            chunks.append(sl[np.argsort(lengths[i : i + mega], kind="stable")[::-1]])
+        idx = np.concatenate(chunks) if chunks else idx
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
-    for i in range(0, end, batch_size):
+    starts = list(range(0, end, batch_size))
+    if group_by_length and shuffle:
+        rng.shuffle(starts)  # batches stay homogeneous, order re-randomized
+    for i in starts:
         take = idx[i : i + batch_size]
         yield collator([dataset[int(j)] for j in take])

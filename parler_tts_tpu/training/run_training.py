@@ -253,10 +253,37 @@ def main(argv: list[str] | None = None) -> dict:
                 ck.rotate_checkpoints(train_args.output_dir, train_args.save_total_limit)
             if train_args.do_eval and train_args.eval_steps and step_i % train_args.eval_steps == 0:
                 losses = []
+                eparams = tstep.merge_params(state.params, frozen)
                 for ebatch in batches(samples[: 4 * per_step], collator, per_step, shuffle=False):
                     ebatch = dist.host_local_to_global(ebatch, mesh)
-                    losses.append(float(eval_step(tstep.merge_params(state.params, frozen), ebatch)["loss"]))
-                logger.log({"loss": float(np.mean(losses))}, step=step_i, prefix="eval")
+                    losses.append(float(eval_step(eparams, ebatch)["loss"]))
+                emetrics = {"loss": float(np.mean(losses))}
+                # generation pass (reference :1676-1744): sample a batch,
+                # report generated-length stats (+ WER/CLAP when available)
+                if train_args.generation_max_length:
+                    from parler_tts_tpu.generation import generate as Ggen
+
+                    gbatch = next(batches(samples[:per_step], collator, min(per_step, 4), shuffle=False))
+                    gout = Ggen.generate(
+                        eparams, cfg,
+                        __import__("dataclasses").replace(
+                            gen_cfg,
+                            max_length=train_args.generation_max_length,
+                            decoder_start_token_id=cfg.decoder.bos_token_id,
+                            pad_token_id=cfg.decoder.pad_token_id,
+                            bos_token_id=cfg.decoder.bos_token_id,
+                            eos_token_id=cfg.decoder.eos_token_id,
+                        ),
+                        input_ids=gbatch["input_ids"],
+                        attention_mask=gbatch["attention_mask"],
+                        prompt_input_ids=gbatch["prompt_input_ids"],
+                        prompt_attention_mask=gbatch["prompt_attention_mask"],
+                        key=jax.random.PRNGKey(step_i),
+                        vocode="audio_encoder" in eparams,
+                        dtype=dtype,
+                    )
+                    emetrics["gen_code_len_mean"] = float(np.mean(np.asarray(gout.code_lengths)))
+                logger.log(emetrics, step=step_i, prefix="eval")
             if train_args.max_steps > 0 and step_i >= train_args.max_steps:
                 stop = True
                 break
