@@ -107,64 +107,29 @@ def embed_codebooks(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(gathered, axis=1)
 
 
-def _self_attention(
+def _self_attention_full(
     p: Params,
     cfg: DecoderConfig,
     x: jnp.ndarray,
     mask: jnp.ndarray | None,
-    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,
-    index: jnp.ndarray | None,
-    kv_pad_mask: jnp.ndarray | None = None,
     flash_ctx: jnp.ndarray | None = None,
 ):
-    """Returns (out, (k, v)) — k/v are the updated full-length buffers when a
-    cache is used, else the sequence k/v.
-
-    Single-token cached decode uses the pallas ``decode_attention`` kernel on
-    TPU: only the valid prefix of the KV buffer is streamed from HBM
-    (``ops/pallas/decode_attention.py``); ``kv_pad_mask`` (B, T_max) carries
-    prompt left-padding.
-    """
+    """Full-sequence causal self-attention (training / prefill-from-0).
+    Returns (out, (k_local, v_local)) — the sequence K/V for cache insert."""
     scale = cfg.head_dim**-0.5
     q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
     k = split_heads(dense(p["k"], x), cfg.num_attention_heads)
     v = split_heads(dense(p["v"], x), cfg.num_attention_heads)
-    k_local, v_local = k, v
-
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        k = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, index, 0))
-        v = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, index, 0))
-
     dtype = q.dtype
+
     if q.shape[2] > 1 and flash_ctx is not None and runtime_flags.use_pallas():
-        # full-sequence (training / prefill-from-0) path: pallas flash
-        # attention over the locally-computed K/V — no score materialization
+        # pallas flash attention — no score materialization
         from parler_tts_tpu.ops.pallas.flash_attention import flash_attention_bhtd
 
-        kv_mask2d = flash_ctx
         out = flash_attention_bhtd(
-            q, k_local.astype(dtype), v_local.astype(dtype), kv_mask2d,
+            q, k.astype(dtype), v.astype(dtype), flash_ctx,
             scale=1.0, causal=True,  # q pre-scaled
         )
-    elif cache_kv is not None and q.shape[2] == 1 and runtime_flags.use_pallas():
-        from parler_tts_tpu.ops.pallas.decode_attention import decode_attention
-
-        b, h, t_max, d = k.shape
-        start = None
-        if kv_pad_mask is not None:
-            # padding is a contiguous left prefix (left-padded prompts):
-            # first valid position per row, broadcast over heads
-            row_start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
-            start = jnp.repeat(row_start, h)
-        out = decode_attention(
-            q.reshape(b * h, 1, d),
-            k.reshape(b * h, t_max, d).astype(dtype),
-            v.reshape(b * h, t_max, d).astype(dtype),
-            index + 1,
-            start,
-            scale=1.0,  # q is pre-scaled
-        ).reshape(b, h, 1, d)
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
         if mask is not None:
@@ -172,6 +137,68 @@ def _self_attention(
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
     return dense(p["o"], merge_heads(out)), (k, v)
+
+
+def _self_attention_decode(
+    p: Params,
+    cfg: DecoderConfig,
+    x: jnp.ndarray,
+    past_k: jnp.ndarray,
+    past_v: jnp.ndarray,
+    index: jnp.ndarray,
+    kv_pad_mask: jnp.ndarray | None,
+):
+    """Single-token cached decode.  The past cache is READ-ONLY (positions
+    ``< index``); the current token's K/V contribution is merged as an
+    explicit extra attention column and returned as the per-layer slice for
+    one batched cache insert in the caller — this avoids re-materializing the
+    (L, B, H, T_max, D) buffers every step (the naive scan-carried update
+    cost ~5.5 ms/step in copies at batch 32 on v5e).
+
+    On TPU the past attention runs in the pallas ``decode_attention`` kernel,
+    streaming only ``ceil(index/block)`` KV blocks from HBM.
+    Returns (out, (k_new, v_new)) with k_new/v_new (B, H, 1, D).
+    """
+    scale = cfg.head_dim**-0.5
+    q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
+    k_new = split_heads(dense(p["k"], x), cfg.num_attention_heads)
+    v_new = split_heads(dense(p["v"], x), cfg.num_attention_heads)
+    dtype = q.dtype
+    b, h, _, d = q.shape
+    t_max = past_k.shape[2]
+
+    if runtime_flags.use_pallas_decode():
+        from parler_tts_tpu.ops.pallas.decode_attention import decode_attention
+
+        start = None
+        if kv_pad_mask is not None:
+            # contiguous left padding: first valid position per row
+            row_start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
+            start = jnp.repeat(row_start, h)
+        out = decode_attention(
+            q.reshape(b * h, 1, d),
+            past_k.reshape(b * h, t_max, d).astype(dtype),
+            past_v.reshape(b * h, t_max, d).astype(dtype),
+            index,
+            start,
+            k_new=k_new.reshape(b * h, 1, d).astype(dtype),
+            v_new=v_new.reshape(b * h, 1, d).astype(dtype),
+            scale=1.0,  # q pre-scaled
+        ).reshape(b, h, 1, d)
+    else:
+        s_past = jnp.einsum("bhqd,bhkd->bhqk", q, past_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+        key_ok = jnp.arange(t_max)[None, None, None, :] < index
+        if kv_pad_mask is not None:
+            key_ok = key_ok & kv_pad_mask[:, None, None, :].astype(bool)
+        s_past = jnp.where(key_ok, s_past, NEG_INF)
+        s_self = jnp.sum(q * k_new.astype(dtype), axis=-1, keepdims=True).astype(jnp.float32)  # (B,H,1,1)
+        s_all = jnp.concatenate([s_past, s_self], axis=-1)
+        probs = jax.nn.softmax(s_all, axis=-1).astype(dtype)
+        out = (
+            jnp.einsum("bhqk,bhkd->bhqd", probs[..., :t_max], past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+            + probs[..., t_max:] * v_new.astype(dtype)
+        )
+    return dense(p["o"], merge_heads(out)), (k_new, v_new)
 
 
 def _cross_attention(
@@ -200,24 +227,20 @@ def _cross_attention(
     return dense(p["o"], merge_heads(out)), (k, v)
 
 
-def _layer(
+def _layer_full(
     lp: Params,
     cfg: DecoderConfig,
     x: jnp.ndarray,
     self_mask,
     enc,
     enc_mask,
-    self_cache,
     cross_cache,
-    index,
-    kv_pad_mask=None,
     flash_ctx=None,
 ):
+    """Full-sequence layer (training / prefill)."""
     act = ACTIVATIONS[cfg.activation_function]
     h = layer_norm(lp["ln_self"], x)
-    attn_out, self_kv = _self_attention(
-        lp["self_attn"], cfg, h, self_mask, self_cache, index, kv_pad_mask, flash_ctx
-    )
+    attn_out, self_kv = _self_attention_full(lp["self_attn"], cfg, h, self_mask, flash_ctx)
     x = x + attn_out
 
     cross_kv = None
@@ -229,6 +252,35 @@ def _layer(
     h = layer_norm(lp["ln_ffn"], x)
     h = dense(lp["fc2"], act(dense(lp["fc1"], h)))
     return x + h, self_kv, cross_kv
+
+
+def _layer_decode(
+    lp: Params,
+    cfg: DecoderConfig,
+    x: jnp.ndarray,
+    past_k,
+    past_v,
+    cross_k,
+    cross_v,
+    enc_mask,
+    index,
+    kv_pad_mask=None,
+):
+    """Single-token cached layer: read-only past, returns new KV slice."""
+    act = ACTIVATIONS[cfg.activation_function]
+    h = layer_norm(lp["ln_self"], x)
+    attn_out, self_kv = _self_attention_decode(
+        lp["self_attn"], cfg, h, past_k, past_v, index, kv_pad_mask
+    )
+    x = x + attn_out
+
+    h = layer_norm(lp["ln_cross"], x)
+    attn_out, _ = _cross_attention(lp["cross_attn"], cfg, h, None, enc_mask, (cross_k, cross_v))
+    x = x + attn_out
+
+    h = layer_norm(lp["ln_ffn"], x)
+    h = dense(lp["fc2"], act(dense(lp["fc1"], h)))
+    return x + h, self_kv
 
 
 def forward(
@@ -274,62 +326,80 @@ def forward(
     positions = lax.dynamic_slice(pos_table, (past_len, 0), (t_fused, cfg.hidden_size))
     x = inputs_embeds + positions.astype(dtype)[None]
 
-    # self-attention mask: causal over absolute fused positions + padding
+    if cache is not None and not prefill:
+        assert t_fused == 1, "cached non-prefill forward is single-token decode"
+
+    # local (t_fused, t_fused) causal+padding mask for full-sequence modes
     kv_pad_mask = None
     flash_ctx = None
-    if t_fused > 1 and (cache is None or prefill):
-        flash_ctx = (
-            attention_mask[:, :t_fused].astype(jnp.int8)
-            if attention_mask is not None
-            else jnp.ones((b, t_fused), jnp.int8)
-        )
-    if cache is not None:
-        t_max = cache.self_k.shape[3]
-        key_pos = jnp.arange(t_max)[None, None, None, :]
-        q_pos = past_len + jnp.arange(t_fused)[None, None, :, None]
-        self_mask = key_pos <= q_pos  # (1,1,T,Tmax)
-        if attention_mask is not None:
-            pad = jnp.pad(attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])), constant_values=1)
-            self_mask = self_mask & pad[:, None, None, :].astype(bool)
-            kv_pad_mask = pad.astype(jnp.int8)
-    else:
+    self_mask = None
+    if cache is None or prefill:
         q_pos = jnp.arange(t_fused)[None, None, :, None]
         key_pos = jnp.arange(t_fused)[None, None, None, :]
         self_mask = key_pos <= q_pos
         if attention_mask is not None:
-            self_mask = self_mask & attention_mask[:, None, None, :].astype(bool)
+            self_mask = self_mask & attention_mask[:, None, None, :t_fused].astype(bool)
+        if t_fused > 1:
+            flash_ctx = (
+                attention_mask[:, :t_fused].astype(jnp.int8)
+                if attention_mask is not None
+                else jnp.ones((b, t_fused), jnp.int8)
+            )
+    else:
+        t_max = cache.self_k.shape[3]
+        if attention_mask is not None:
+            kv_pad_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])), constant_values=1
+            ).astype(jnp.int8)
 
     enc_mask = None
     if encoder_attention_mask is not None:
         enc_mask = encoder_attention_mask[:, None, None, :].astype(bool)
 
     layers = params["layers"]
-    use_cross_cache = cache is not None and encoder_hidden_states is None
-    enc = None if use_cross_cache else (
-        encoder_hidden_states.astype(dtype) if encoder_hidden_states is not None else None
-    )
+    enc = encoder_hidden_states.astype(dtype) if encoder_hidden_states is not None else None
 
-    if cache is not None:
-        def scan_body(x, s):
-            lp, sk, sv, ck, cv = s
-            x, self_kv, cross_kv = _layer(
-                lp, cfg, x, self_mask, enc, enc_mask, (sk, sv),
-                (ck, cv) if use_cross_cache else None, past_len, kv_pad_mask, flash_ctx,
-            )
-            new_ck, new_cv = cross_kv if cross_kv is not None else (ck, cv)
-            return x, (self_kv[0], self_kv[1], new_ck, new_cv)
-
-        x, (nsk, nsv, nck, ncv) = lax.scan(
-            scan_body, x, (layers, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
-        )
-        new_cache = KVCache(nsk, nsv, nck, ncv, past_len + t_fused)
-    else:
+    if cache is None:
         def scan_body(x, lp):
-            x, _, _ = _layer(lp, cfg, x, self_mask, enc, enc_mask, None, None, 0, None, flash_ctx)
+            x, _, _ = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
             return x, None
 
         x, _ = lax.scan(scan_body, x, layers)
         new_cache = None
+    elif prefill:
+        # prefill from index 0: attention over the local sequence only; scan
+        # emits each layer's local K/V + cross K/V, merged into the big
+        # buffers with ONE batched write (no per-layer buffer re-copies)
+        def scan_body(x, lp):
+            x, self_kv, cross_kv = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
+            return x, (self_kv[0], self_kv[1], cross_kv[0], cross_kv[1])
+
+        x, (ks, vs, cks, cvs) = lax.scan(scan_body, x, layers)
+        new_cache = KVCache(
+            lax.dynamic_update_slice(cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, 0, 0, 0)),
+            lax.dynamic_update_slice(cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, 0, 0, 0)),
+            cks.astype(cache.cross_k.dtype),
+            cvs.astype(cache.cross_v.dtype),
+            past_len + t_fused,
+        )
+    else:
+        def scan_body(x, s):
+            lp, sk, sv, ck, cv = s
+            x, self_kv = _layer_decode(
+                lp, cfg, x, sk, sv, ck, cv, enc_mask, past_len, kv_pad_mask
+            )
+            return x, (self_kv[0], self_kv[1])
+
+        x, (ks, vs) = lax.scan(
+            scan_body, x, (layers, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+        )
+        new_cache = KVCache(
+            lax.dynamic_update_slice(cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, 0, past_len, 0)),
+            lax.dynamic_update_slice(cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, 0, past_len, 0)),
+            cache.cross_k,
+            cache.cross_v,
+            past_len + 1,
+        )
 
     x = layer_norm(params["final_ln"], x)
     return x, new_cache

@@ -33,8 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-            *, block_k: int, scale: float, t_total: int):
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref,
+            acc_ref, m_ref, l_ref, *, block_k: int, scale: float, t_total: int,
+            include_self: bool):
     bh_i, j = pl.program_id(0), pl.program_id(1)
     limit = pl.cdiv(len_ref[0], block_k)  # valid kv blocks
 
@@ -70,7 +71,22 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_re
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        if include_self:
+            # merge the current token's own K/V (not yet in the cache — the
+            # caller batches cache writes) as a final attention column
+            q = q_ref[0].astype(jnp.float32)  # (1, D)
+            kn = kn_ref[0].astype(jnp.float32)  # (1, D)
+            s_self = jnp.sum(q * kn, axis=1, keepdims=True) * scale  # (1, 1)
+            m_prev = m_ref[...]
+            m_new = jnp.maximum(m_prev, s_self)
+            corr = jnp.exp(m_prev - m_new)
+            p_self = jnp.exp(s_self - m_new)
+            l = l_ref[...] * corr + p_self
+            acc = acc_ref[...] * corr + p_self * vn_ref[0].astype(jnp.float32)
+        else:
+            l = l_ref[...]
+            acc = acc_ref[...]
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_k", "interpret"))
@@ -81,20 +97,30 @@ def decode_attention(
     length: jnp.ndarray,
     start: jnp.ndarray | None = None,
     *,
+    k_new: jnp.ndarray | None = None,
+    v_new: jnp.ndarray | None = None,
     scale: float = 1.0,
     block_k: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q: (BH, 1, D) single query per row; k/v: (BH, T, D); length: scalar
-    int32 count of valid positions; start: (BH,) int32 first valid position
-    per row (contiguous left padding).  Returns (BH, 1, D).  Only
-    ``ceil(length/block_k)`` KV blocks are read from HBM."""
+    """q: (BH, 1, D) single query per row; k/v: (BH, T, D) read-only PAST
+    buffers; length: scalar int32 count of valid past positions; start:
+    (BH,) int32 first valid position per row (contiguous left padding);
+    k_new/v_new: (BH, 1, D) the current token's K/V, merged as a final
+    attention column (pass zeros-with-k_new=None only for past-only use).
+    Returns (BH, 1, D).  Only ``ceil(length/block_k)`` past KV blocks are
+    read from HBM."""
     bh, t, d = k.shape
     nk = pl.cdiv(t, block_k)
     if start is None:
         start = jnp.zeros((bh,), jnp.int32)
     start = start.astype(jnp.int32)
     length = jnp.reshape(length, (1,)).astype(jnp.int32)
+    include_self = k_new is not None
+    if k_new is None:
+        k_new = jnp.zeros((bh, 1, d), q.dtype)
+    if v_new is None:
+        v_new = jnp.zeros((bh, 1, d), q.dtype)
 
     def clamp_map(bh_i, j, lens, starts):
         limit = (lens[0] + block_k - 1) // block_k
@@ -107,6 +133,8 @@ def decode_attention(
             pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
             pl.BlockSpec((1, block_k, d), clamp_map),
             pl.BlockSpec((1, block_k, d), clamp_map),
+            pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, d), lambda bh_i, j, lens, starts: (bh_i, 0, 0)),
         scratch_shapes=[
@@ -116,14 +144,15 @@ def decode_attention(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, block_k=block_k, scale=scale, t_total=t),
+        functools.partial(_kernel, block_k=block_k, scale=scale, t_total=t,
+                          include_self=include_self),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, 1, d), q.dtype),
         interpret=interpret,
-    )(length, start, q, k, v)
+    )(length, start, q, k, v, k_new, v_new)
 
 
-def decode_attention_reference(q, k, v, length, start=None, *, scale=1.0):
+def decode_attention_reference(q, k, v, length, start=None, *, k_new=None, v_new=None, scale=1.0):
     """XLA reference implementation (same semantics) for parity tests."""
     bh, t, d = k.shape
     pos = jnp.arange(t)[None, :]
@@ -132,5 +161,9 @@ def decode_attention_reference(q, k, v, length, start=None, *, scale=1.0):
         pos_ok = pos_ok & (pos >= start[:, None])
     s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     s = jnp.where(pos_ok[:, None, :], s, NEG_INF)
+    if k_new is not None:
+        s_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1, keepdims=True) * scale
+        s = jnp.concatenate([s, s_self], axis=-1)
+        v = jnp.concatenate([v, v_new], axis=1)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)

@@ -154,6 +154,7 @@ def test_cached_decode_matches_full_forward(models, batch):
         encoder_attention_mask=b["enc_mask"],
         attention_mask=fused_mask[:, : P + t0],
         cache=cache,
+        prefill=True,
     )
     step_logits = [np.asarray(jdec.logits(params, hidden, num_labels=t0))]
     for t in range(t0, T):

@@ -46,6 +46,29 @@ def test_decode_attention_matches_reference(length):
     assert d.max() < 1e-5
 
 
+@pytest.mark.parametrize("length", [0, 5, 256, 511])
+def test_decode_attention_with_self_token(length):
+    """Past + explicit current-token column (the production decode path)."""
+    rng = np.random.default_rng(3)
+    BH, T, D = 8, 512, 64
+    q = rng.standard_normal((BH, 1, D)).astype(np.float32)
+    k = rng.standard_normal((BH, T, D)).astype(np.float32)
+    v = rng.standard_normal((BH, T, D)).astype(np.float32)
+    kn = rng.standard_normal((BH, 1, D)).astype(np.float32)
+    vn = rng.standard_normal((BH, 1, D)).astype(np.float32)
+    start = np.array([0, 2, 0, 0, 1, 0, 0, 3], np.int32)
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
+        jnp.asarray(start), k_new=jnp.asarray(kn), v_new=jnp.asarray(vn), scale=0.125,
+    )
+    out = decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
+        jnp.asarray(start), k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
+        scale=0.125, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 @pytest.mark.parametrize("shape,pad", [((2, 3, 256, 64), 70), ((1, 2, 40, 32), 5), ((2, 2, 300, 64), 0)])
 @pytest.mark.parametrize("causal", [True, False])
 def test_flash_forward_matches_reference(shape, pad, causal):
