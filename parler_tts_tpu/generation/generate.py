@@ -260,7 +260,10 @@ def generate(
     )
     codes, code_lengths = postprocess_tokens(tokens, cfg)
     if vocode and "audio_encoder" in params:
-        audio = dac_mod.decode(params["audio_encoder"], cfg.audio_encoder, codes)
+        audio = dac_mod.decode(
+            params["audio_encoder"], cfg.audio_encoder, codes,
+            dtype=None if dtype == jnp.float32 else dtype,
+        )
     else:
         audio = jnp.zeros((tokens.shape[0], 0), jnp.float32)
     audio_lengths = code_lengths * cfg.audio_encoder.hop_length

@@ -150,7 +150,10 @@ def stream_generate(
 
     @jax.jit
     def vocode_window(params, codes_win):
-        return dac_mod.decode(params["audio_encoder"], cfg.audio_encoder, codes_win)
+        return dac_mod.decode(
+            params["audio_encoder"], cfg.audio_encoder, codes_win,
+            dtype=None if dtype == jnp.float32 or dtype == np.float32 else dtype,
+        )
 
     t = int(state.t)
     emitted_frames = 0

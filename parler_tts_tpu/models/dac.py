@@ -67,8 +67,15 @@ def encoder_forward(p: Params, cfg: DACConfig, audio: jnp.ndarray) -> jnp.ndarra
     return conv1d(p["conv_out"], x, padding=1)
 
 
-def decoder_forward(p: Params, cfg: DACConfig, z: jnp.ndarray) -> jnp.ndarray:
-    """(B, T86, latent_dim) quantized latents -> (B, T86*hop) waveform."""
+def decoder_forward(p: Params, cfg: DACConfig, z: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """(B, T86, latent_dim) quantized latents -> (B, T86*hop) waveform.
+
+    ``dtype`` sets the conv compute precision: fp32 (default) for the
+    allclose quality gate, bf16 for the serving path (~MXU-native; snake
+    stays fp32 internally, final tanh output returned fp32).
+    """
+    if dtype is not None:
+        z = z.astype(dtype)
     x = conv1d(p["conv_in"], z, padding=3)
     for block, stride in zip(p["blocks"], cfg.upsampling_ratios):
         x = snake(x, block["snake"]["alpha"])
@@ -77,7 +84,7 @@ def decoder_forward(p: Params, cfg: DACConfig, z: jnp.ndarray) -> jnp.ndarray:
             x = _res_unit(r, x, dilation=d)
     x = snake(x, p["snake_out"]["alpha"])
     x = conv1d(p["conv_out"], x, padding=3)
-    return jnp.tanh(x)[..., 0]
+    return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +173,11 @@ def encode(params: Params, cfg: DACConfig, audio: jnp.ndarray, *, n_quantizers: 
     return rvq_encode(params, z, n_quantizers=n_quantizers)
 
 
-def decode(params: Params, cfg: DACConfig, codes: jnp.ndarray) -> jnp.ndarray:
-    """(B, K, T86) codes -> (B, T86*hop) waveform."""
+def decode(params: Params, cfg: DACConfig, codes: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """(B, K, T86) codes -> (B, T86*hop) waveform.  ``dtype=jnp.bfloat16``
+    selects the fast serving path (see decoder_forward)."""
     z_q = rvq_from_codes(params, codes)
-    return decoder_forward(params["decoder"], cfg, z_q)
+    return decoder_forward(params["decoder"], cfg, z_q, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
