@@ -92,6 +92,22 @@ def test_weight_norm_folding(tiny):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_bf16_vocoder_quality():
+    """The bf16 serving path stays within listening-transparent error of the
+    fp32 quality path (fp32 remains the default / allclose-gate path)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = DACConfig()
+    params = jdac.init(jax.random.PRNGKey(0), cfg)
+    codes = np.random.default_rng(0).integers(0, 1024, (1, 9, 20))
+    w32 = np.asarray(jdac.decode(params, cfg, codes))
+    w16 = np.asarray(jdac.decode(params, cfg, codes, dtype=jnp.bfloat16))
+    err = w16 - w32
+    snr = 10 * np.log10((w32**2).mean() / max((err**2).mean(), 1e-20))
+    assert snr > 30.0, f"bf16 vocoder SNR too low: {snr:.1f} dB"
+
+
 def test_default_config_shapes():
     """Default (44.1 kHz Mini) geometry: hop 512, 86 frames/s."""
     cfg = DACConfig()
