@@ -159,6 +159,8 @@ def generate_tokens(
 
     eos = gen.eos_token_id
     pad = gen.pad_token_id
+    # fused-QKV view for the decode loop (concat is loop-invariant: once/call)
+    decode_params = decoder_mod.prepare_decode_params(params["decoder"])
 
     def cond(s: DecodeState):
         return (s.t < max_length) & ~jnp.all(s.finished)
@@ -184,7 +186,7 @@ def generate_tokens(
         new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
 
         hidden, new_cache = decoder_mod.forward(
-            params["decoder"],
+            decode_params,
             dcfg,
             _decoder_rows(token_t[:, :, None], use_cfg),
             encoder_attention_mask=enc_mask,
@@ -192,7 +194,7 @@ def generate_tokens(
             cache=s.cache,
             dtype=dtype,
         )
-        new_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+        new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
         return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
 
     final = lax.while_loop(cond, body, state)

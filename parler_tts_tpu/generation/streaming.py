@@ -118,6 +118,7 @@ def stream_generate(
     # ---- jitted chunk stepper: run until chunk end or all finished ----
     @jax.jit
     def run_chunk(params, s: DecodeState, end: jnp.ndarray):
+        decode_params = decoder_mod.prepare_decode_params(params["decoder"])
         def cond(s):
             return (s.t < end) & ~jnp.all(s.finished)
 
@@ -134,11 +135,11 @@ def stream_generate(
             new_finished = s.finished | (token_t == eos)
             new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
             hidden, new_cache = decoder_mod.forward(
-                params["decoder"], dcfg, _decoder_rows(token_t[:, :, None], use_cfg),
+                decode_params, dcfg, _decoder_rows(token_t[:, :, None], use_cfg),
                 encoder_attention_mask=enc_mask, attention_mask=fused_mask,
                 cache=s.cache, dtype=dtype,
             )
-            new_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+            new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
             return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
 
         return lax.while_loop(cond, body, s)

@@ -95,6 +95,30 @@ def init_cache(
     )
 
 
+def prepare_decode_params(params: Params) -> Params:
+    """Decode-optimized parameter view: concatenates the per-layer q/k/v
+    kernels into one (L, H, 3H) fused projection.  Call once (inside the
+    jitted generate, before the decode loop) — loop-invariant, so the concat
+    happens once per generation, and the step does one matmul instead of
+    three (better weight-streaming contiguity)."""
+    sa = params["layers"]["self_attn"]
+    fused = {
+        **params,
+        "layers": {
+            **params["layers"],
+            "self_attn": {
+                **sa,
+                "qkv": {
+                    "kernel": jnp.concatenate(
+                        [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1
+                    )
+                },
+            },
+        },
+    }
+    return fused
+
+
 def embed_codebooks(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     """Sum of per-codebook embeddings (reference ``:836``).
     ids: (B, K, T) -> (B, T, H).  Single gather over the offset-flattened
@@ -160,9 +184,17 @@ def _self_attention_decode(
     Returns (out, (k_new, v_new)) with k_new/v_new (B, H, 1, D).
     """
     scale = cfg.head_dim**-0.5
-    q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
-    k_new = split_heads(dense(p["k"], x), cfg.num_attention_heads)
-    v_new = split_heads(dense(p["v"], x), cfg.num_attention_heads)
+    if "qkv" in p:
+        # fused projection (prepare_decode_params): one (H, 3H) matmul
+        qkv = dense(p["qkv"], x)
+        hsz = cfg.hidden_size
+        q = split_heads(qkv[..., :hsz], cfg.num_attention_heads) * scale
+        k_new = split_heads(qkv[..., hsz : 2 * hsz], cfg.num_attention_heads)
+        v_new = split_heads(qkv[..., 2 * hsz :], cfg.num_attention_heads)
+    else:
+        q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
+        k_new = split_heads(dense(p["k"], x), cfg.num_attention_heads)
+        v_new = split_heads(dense(p["v"], x), cfg.num_attention_heads)
     dtype = q.dtype
     b, h, _, d = q.shape
     t_max = past_k.shape[2]
