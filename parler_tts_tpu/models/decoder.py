@@ -119,11 +119,18 @@ def prepare_decode_params(params: Params) -> Params:
     return fused
 
 
-def embed_codebooks(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+def embed_codebooks(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Sum of per-codebook embeddings (reference ``:836``).
     ids: (B, K, T) -> (B, T, H).  Single gather over the offset-flattened
-    (K*(vocab+1), H) table."""
+    (K*(vocab+1), H) table.
+
+    The table is cast to the compute dtype BEFORE the gather: on this
+    image's TPU stack, the fused gather->convert(f32->bf16) pattern
+    miscompiles (NaNs + occasional TPU-worker kernel faults); gathering in
+    the target dtype sidesteps it and halves gather bandwidth anyway."""
     tables = params["embed_tokens"]["embedding"]  # (K, V+1, H)
+    if dtype is not None:
+        tables = tables.astype(dtype)
     k, v1, h = tables.shape
     flat = tables.reshape(k * v1, h)
     offset_ids = ids + (jnp.arange(k, dtype=ids.dtype) * v1)[None, :, None]
@@ -345,7 +352,7 @@ def forward(
     K/V instead of the whole cache buffer.
     """
     if inputs_embeds is None:
-        inputs_embeds = embed_codebooks(params, decoder_input_ids).astype(dtype)
+        inputs_embeds = embed_codebooks(params, decoder_input_ids, dtype=dtype)
     if prompt_hidden_states is not None:
         inputs_embeds = jnp.concatenate([prompt_hidden_states.astype(dtype), inputs_embeds], axis=1)
 

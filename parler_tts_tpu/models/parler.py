@@ -49,7 +49,7 @@ def encode_text(
 
 
 def embed_prompts(params: Params, prompt_input_ids: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
-    return embed(params["embed_prompts"], prompt_input_ids).astype(dtype)
+    return embed(params["embed_prompts"], prompt_input_ids, dtype=dtype)
 
 
 def train_forward(

@@ -98,7 +98,7 @@ def encode(
     """Run the encoder. input_ids (B, T) int; attention_mask (B, T) {0,1}.
     Returns last_hidden_state (B, T, d_model), final-layernormed."""
     b, t = input_ids.shape
-    x = embed(params["token_embed"], input_ids).astype(dtype)
+    x = embed(params["token_embed"], input_ids, dtype=dtype)
 
     bias = compute_position_bias(params, cfg, t, t).astype(dtype)
     mask = None

@@ -62,9 +62,14 @@ def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
-    """Token embedding lookup.  table: (vocab, dim)."""
-    return jnp.take(params["embedding"], ids, axis=0)
+def embed(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Token embedding lookup.  table: (vocab, dim).  ``dtype`` casts the
+    table BEFORE the gather (this TPU stack miscompiles fused
+    gather->convert; see models/decoder.embed_codebooks)."""
+    table = params["embedding"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, ids, axis=0)
 
 
 def layer_norm(params: Params, x: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:
