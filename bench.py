@@ -18,7 +18,7 @@ frames per audio-second and batch 4 that is ≈2.6 audio-s/s.  The reference
 publishes no numbers (BASELINE.json "published": {}), so this anchor is an
 estimate, documented here and held constant across rounds for comparability.
 
-Env knobs: BENCH_BATCH (default 32), BENCH_SECONDS (default 3 s of audio),
+Env knobs: BENCH_BATCH (default 64), BENCH_SECONDS (default 3 s of audio),
 BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC.
 
 Resilience: the TPU tunnel on this box occasionally kills the worker during
@@ -39,8 +39,8 @@ A100_BASELINE_AUDIO_S_PER_S = 2.6  # documented estimate, see module docstring
 
 def main():
     attempts = [
-        (int(os.environ.get("BENCH_BATCH", 32)), float(os.environ.get("BENCH_SECONDS", 3.0))),
-        (16, 3.0),
+        (int(os.environ.get("BENCH_BATCH", 64)), float(os.environ.get("BENCH_SECONDS", 3.0))),
+        (32, 3.0),
         (4, 2.0),
     ]
     last_err = None
