@@ -14,10 +14,16 @@ streaming is new design:
   context and emit only the new samples.  With ``lookback`` ≥ the decoder
   stack's receptive field (~40 frames for the 44.1 kHz model) the emitted
   waveform is sample-identical to offline decoding.
+
+The jitted prefill / chunk-step / vocode programs are built by an LRU-cached
+factory keyed on the static signature — repeated ``stream_generate`` calls
+with the same shapes reuse compilations (defining jits inside the generator
+would recompile per stream: ~45 s instead of ~0.2 s first-chunk warm).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, NamedTuple
 
 import jax
@@ -44,33 +50,16 @@ class StreamChunk(NamedTuple):
     finished: bool
 
 
-def stream_generate(
-    params: Params,
-    cfg: ParlerTTSConfig,
-    gen: GenerationConfig,
-    *,
-    input_ids,
-    attention_mask=None,
-    prompt_input_ids,
-    prompt_attention_mask=None,
-    key,
-    max_length: int | None = None,
-    chunk_frames: int = 86,  # 1 s of audio per chunk
-    lookback: int = DEFAULT_LOOKBACK,
-    dtype=jnp.bfloat16,
-) -> Iterator[StreamChunk]:
-    """Yield ~``chunk_frames/86``-second audio chunks as they are generated."""
+@functools.lru_cache(maxsize=32)
+def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
+                      max_length: int, window: int, dtype_name: str, vocode: bool):
+    """Compile-cached jitted programs for one streaming signature."""
     dcfg = cfg.decoder
-    b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
-    max_length = max_length or gen.max_length
+    num_codebooks = dcfg.num_codebooks
     use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    eos, pad = gen.eos_token_id, gen.pad_token_id
 
-    if attention_mask is None:
-        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
-    if prompt_attention_mask is None:
-        prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
-
-    # ---- jitted prefill (same construction as generate_tokens) ----
     @jax.jit
     def prefill(params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key):
         enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
@@ -109,16 +98,10 @@ def stream_generate(
         )
         return state, pattern, enc_mask, fused_mask
 
-    state, pattern, enc_mask, fused_mask = prefill(
-        params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key
-    )
-
-    eos, pad = gen.eos_token_id, gen.pad_token_id
-
-    # ---- jitted chunk stepper: run until chunk end or all finished ----
     @jax.jit
-    def run_chunk(params, s: DecodeState, end: jnp.ndarray):
+    def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask):
         decode_params = decoder_mod.prepare_decode_params(params["decoder"])
+
         def cond(s):
             return (s.t < end) & ~jnp.all(s.finished)
 
@@ -142,30 +125,70 @@ def stream_generate(
             new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
             return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
 
-        return lax.while_loop(cond, body, s)
+        s = lax.while_loop(cond, body, s)
+        # undelayed view computed on-device (cheap) so the host only fetches
+        return s, undelay_pattern(s.tokens[:, :, 1:])
 
-    # ---- jitted incremental vocoder over a static window ----
+    vocode_window = None
+    if vocode:
+        @jax.jit
+        def vocode_window(params, codes_win):
+            return dac_mod.decode(
+                params["audio_encoder"], cfg.audio_encoder, codes_win,
+                dtype=None if dtype == jnp.float32 else dtype,
+            )
+
+    return prefill, run_chunk, vocode_window
+
+
+def stream_generate(
+    params: Params,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig,
+    *,
+    input_ids,
+    attention_mask=None,
+    prompt_input_ids,
+    prompt_attention_mask=None,
+    key,
+    max_length: int | None = None,
+    chunk_frames: int = 86,  # 1 s of audio per chunk
+    lookback: int = DEFAULT_LOOKBACK,
+    dtype=jnp.bfloat16,
+) -> Iterator[StreamChunk]:
+    """Yield ~``chunk_frames/86``-second audio chunks as they are generated."""
+    dcfg = cfg.decoder
+    b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
+    max_length = max_length or gen.max_length
+
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+    if prompt_attention_mask is None:
+        prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
+
     window = lookback + chunk_frames
-    hop = cfg.audio_encoder.hop_length
     can_vocode = "audio_encoder" in params
+    dtype_name = jnp.dtype(dtype).name
+    prefill, run_chunk, vocode_window = _build_stream_fns(
+        cfg, gen, b, max_length, window, dtype_name, can_vocode
+    )
 
-    @jax.jit
-    def vocode_window(params, codes_win):
-        return dac_mod.decode(
-            params["audio_encoder"], cfg.audio_encoder, codes_win,
-            dtype=None if dtype == jnp.float32 or dtype == np.float32 else dtype,
-        )
+    state, pattern, enc_mask, fused_mask = prefill(
+        params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key
+    )
 
+    hop = cfg.audio_encoder.hop_length
     t = int(state.t)
     emitted_frames = 0
     while True:
         end = min(t + chunk_frames, max_length)
-        state = run_chunk(params, state, jnp.asarray(end, jnp.int32))
+        state, codes_dev = run_chunk(
+            params, state, jnp.asarray(end, jnp.int32), pattern, enc_mask, fused_mask
+        )
         t_now = int(state.t)  # forces chunk completion (host sync point)
-        tokens_np = np.asarray(state.tokens)
         done = bool(np.asarray(jnp.all(state.finished))) or t_now >= max_length
 
-        codes_full = np.asarray(undelay_pattern(tokens_np[:, :, 1:]))
+        codes_full = np.asarray(codes_dev)
         # frames fully determined so far: t_now - 1 written positions after
         # BOS, minus the delay tail of K-1
         ready = max(0, (t_now - 1) - (num_codebooks - 1))
