@@ -99,6 +99,8 @@ class TrainingArguments:
     report_to: str = "jsonl"  # "wandb" if installed, else jsonl
     model_parallel_size: int = 1
     generation_max_length: int | None = None
+    push_to_hub: bool = False
+    hub_model_id: str | None = None
 
 
 def _coerce(tp: Any, v: str) -> Any:

@@ -292,7 +292,17 @@ def main(argv: list[str] | None = None) -> dict:
 
     # ----- final artifact (reference :1436-1453) -----
     final = tstep.merge_params(jax.device_get(state.params), jax.device_get(frozen))
-    ck.save_model(os.path.join(train_args.output_dir, "final"), final, cfg, gen_cfg)
+    final_dir = os.path.join(train_args.output_dir, "final")
+    ck.save_model(final_dir, final, cfg, gen_cfg)
+    if train_args.push_to_hub and train_args.hub_model_id and jax.process_index() == 0:
+        # reference pushes during/after training (:1626-1630); egress-gated
+        try:
+            from huggingface_hub import HfApi
+
+            HfApi().upload_folder(folder_path=final_dir, repo_id=train_args.hub_model_id)
+            print(f"pushed final artifact to {train_args.hub_model_id}")
+        except Exception as e:
+            print(f"hub push skipped: {e}", file=sys.stderr)
     final_step = int(state.step)
     logger.log({"final_step": final_step, "wall_s": time.time() - t_start}, step=final_step)
     logger.close()
