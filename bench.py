@@ -4,7 +4,8 @@ north-star metric) on the Parler-TTS Mini 600M geometry.
 Runs the full jitted pipeline — T5 description encode, prompt fusion, delay
 pattern, KV-cached sampling decode loop, undelay, DAC vocode — with random
 Mini-shape weights (throughput is weight-value independent) on the real TPU
-chip, bf16 compute.
+chip, bf16 compute with bf16-resident params (fp32 masters are never kept on
+device during inference).
 
 Prints ONE JSON line:
   {"metric": "audio_seconds_per_sec_per_chip", "value": N, "unit": "audio-s/s",
@@ -18,8 +19,12 @@ frames per audio-second and batch 4 that is ≈2.6 audio-s/s.  The reference
 publishes no numbers (BASELINE.json "published": {}), so this anchor is an
 estimate, documented here and held constant across rounds for comparability.
 
+``p50_latency_10s_utterance_s`` is a MEASURED batch-1 greedy 10 s-utterance
+wall time (BASELINE config 1), not a scaled throughput number.
+
 Env knobs: BENCH_BATCH (default 64), BENCH_SECONDS (default 3 s of audio),
-BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC.
+BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC,
+BENCH_LATENCY=0 to skip the batch-1 latency config.
 
 Resilience: the TPU tunnel on this box occasionally kills the worker during
 long compiles/runs; the driver depends on ONE JSON line being printed, so a
@@ -60,42 +65,54 @@ def main():
     return 1
 
 
+def _make_inputs(rng, batch, desc_len=32, prompt_len=24):
+    return dict(
+        input_ids=rng.integers(0, 32128, (batch, desc_len)),
+        attention_mask=np.ones((batch, desc_len), np.int32),
+        prompt_input_ids=rng.integers(0, 32128, (batch, prompt_len)),
+        prompt_attention_mask=np.ones((batch, prompt_len), np.int32),
+    )
+
+
 def run_bench(batch: int, seconds: float):
+    from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
     from parler_tts_tpu.core.config import GenerationConfig, mini_600m_config
     from parler_tts_tpu.generation import generate as G
     from parler_tts_tpu.models import parler
+    from parler_tts_tpu.ops.nn import astype_tree
 
     reps = int(os.environ.get("BENCH_REPS", 3))
     vocode = os.environ.get("BENCH_VOCODE", "1") != "0"
+    measure_latency = os.environ.get("BENCH_LATENCY", "1") != "0"
 
     cfg = mini_600m_config()
     frames = int(seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
     gen = GenerationConfig(max_length=frames, do_sample=True, temperature=1.0, top_k=50)
 
-    print(f"backend: {jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+    print(f"backend: {jax.default_backend()} devices={jax.devices()} "
+          f"compilation_cache={cache_dir}", file=sys.stderr)
     t0 = time.time()
-    # one fused compile for init (eager init is hundreds of tiny dispatches)
+    # one fused compile for init (eager init is hundreds of tiny dispatches);
+    # cast to bf16 INSIDE the program so fp32 masters never stay resident
     params = jax.jit(
-        lambda k: parler.init(k, cfg, with_audio_encoder=vocode)
+        lambda k: astype_tree(parler.init(k, cfg, with_audio_encoder=vocode), jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    desc_ids = rng.integers(0, 32128, (batch, 32))
-    desc_mask = np.ones((batch, 32), np.int32)
-    prompt_ids = rng.integers(0, 32128, (batch, 24))
-    prompt_mask = np.ones((batch, 24), np.int32)
+    inputs = _make_inputs(rng, batch)
 
     @jax.jit
     def run(params, key):
         out = G.generate(
-            params, cfg, gen,
-            input_ids=desc_ids, attention_mask=desc_mask,
-            prompt_input_ids=prompt_ids, prompt_attention_mask=prompt_mask,
+            params, cfg, gen, **inputs,
             key=key, vocode=vocode, dtype=jnp.bfloat16,
         )
         res = out.audio if vocode else out.codes
@@ -118,9 +135,8 @@ def run_bench(batch: int, seconds: float):
 
     audio_seconds = batch * (frames - cfg.decoder.num_codebooks) / cfg.frame_rate
     value = audio_seconds / median
-    p50_latency_10s = median / seconds * 10.0  # scaled p50 for a 10 s utterance
 
-    print(json.dumps({
+    result = {
         "metric": "audio_seconds_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "audio-s/s",
@@ -128,9 +144,41 @@ def run_bench(batch: int, seconds: float):
         "batch": batch,
         "utterance_seconds": seconds,
         "decode_steps": frames,
-        "p50_latency_10s_utterance_s": round(p50_latency_10s, 2),
         "compile_s": round(compile_s, 1),
-    }))
+    }
+
+    if measure_latency:
+        # BASELINE config 1: single utterance, greedy, vocoded — measured
+        try:
+            lat_frames = int(10.0 * cfg.frame_rate) + cfg.decoder.num_codebooks
+            lat_gen = GenerationConfig(max_length=lat_frames, do_sample=False)
+            lat_inputs = _make_inputs(rng, 1)
+
+            @jax.jit
+            def run_latency(params, key):
+                out = G.generate(
+                    params, cfg, lat_gen, **lat_inputs,
+                    key=key, vocode=vocode, dtype=jnp.bfloat16,
+                )
+                res = out.audio if vocode else out.codes
+                return jnp.sum(res.astype(jnp.float32))
+
+            t0 = time.time()
+            float(run_latency(params, jax.random.PRNGKey(11)))
+            lat_compile_s = time.time() - t0
+            lat_times = []
+            for i in range(reps):
+                t0 = time.time()
+                float(run_latency(params, jax.random.PRNGKey(12 + i)))
+                lat_times.append(time.time() - t0)
+            result["p50_latency_10s_utterance_s"] = round(float(np.median(lat_times)), 3)
+            result["latency_compile_s"] = round(lat_compile_s, 1)
+            print(f"latency times: {[f'{t:.2f}' for t in lat_times]}", file=sys.stderr)
+        except Exception as e:
+            print(f"latency config failed: {e}", file=sys.stderr)
+            result["p50_latency_10s_utterance_s"] = None
+
+    print(json.dumps(result))
     return 0
 
 

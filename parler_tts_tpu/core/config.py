@@ -123,6 +123,9 @@ class DecoderConfig:
     layerdrop: float = 0.0
     scale_embedding: bool = False
     use_cache: bool = True
+    audio_channels: int = 1  # 2 = stereo (MusicGen-style interleaved
+    # codebooks; mono codec codes are repeat_interleaved, reference
+    # ``modeling_parler_tts.py:2042-2044``)
     initializer_factor: float = 0.02
     pad_token_id: int = 1024
     bos_token_id: int = 1025

@@ -249,6 +249,13 @@ def generate(
         decoder_input_codes = dac_mod.encode(
             params["audio_encoder"], cfg.audio_encoder, input_values
         )
+    if (
+        decoder_input_codes is not None
+        and cfg.decoder.audio_channels == 2
+        and decoder_input_codes.shape[1] == cfg.decoder.num_codebooks // 2
+    ):
+        # mono codes into a stereo decoder (reference :2042-2044)
+        decoder_input_codes = jnp.repeat(decoder_input_codes, 2, axis=1)
     tokens, _ = generate_tokens(
         params, cfg, gen,
         input_ids=input_ids,

@@ -48,12 +48,20 @@ class StreamChunk(NamedTuple):
     codes: np.ndarray  # (B, K, new_frames) undelayed codes for this chunk
     frame_offset: int
     finished: bool
+    valid_lengths: np.ndarray | None = None  # (B,) valid TOTAL frames per
+    # sample so far (samples that hit EOS stop contributing audio; frames in
+    # this chunk past ``valid_lengths[i] - frame_offset`` are zeroed)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
-                      max_length: int, window: int, dtype_name: str, vocode: bool):
-    """Compile-cached jitted programs for one streaming signature."""
+                      max_length: int, window: int, dtype_name: str, vocode: bool,
+                      audio_prompt_frames: int = 0):
+    """Compile-cached jitted programs for one streaming signature.
+    ``audio_prompt_frames > 0`` enables voice-prompted streaming: the prefill
+    takes a ``(B, K, audio_prompt_frames)`` block of raw codec codes placed
+    after the BOS start frame (same contract as ``generate_tokens``'s
+    ``decoder_input_codes``, reference ``modeling_parler_tts.py:2247-2292``)."""
     dcfg = cfg.decoder
     num_codebooks = dcfg.num_codebooks
     use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
@@ -61,7 +69,8 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
     eos, pad = gen.eos_token_id, gen.pad_token_id
 
     @jax.jit
-    def prefill(params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key):
+    def prefill(params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask,
+                decoder_input_codes, key):
         enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
         enc_mask = attention_mask
         if use_cfg:
@@ -74,6 +83,10 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
             p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
 
         start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
+        if decoder_input_codes is not None:
+            start_ids = jnp.concatenate(
+                [start_ids, decoder_input_codes.astype(jnp.int32)], axis=2
+            )
         _, pattern, t0 = build_delay_pattern(
             start_ids, bos_token_id=gen.bos_token_id, pad_token_id=gen.pad_token_id,
             max_length=max_length,
@@ -150,13 +163,19 @@ def stream_generate(
     attention_mask=None,
     prompt_input_ids,
     prompt_attention_mask=None,
+    input_values=None,
+    decoder_input_codes=None,
     key,
     max_length: int | None = None,
     chunk_frames: int = 86,  # 1 s of audio per chunk
     lookback: int = DEFAULT_LOOKBACK,
     dtype=jnp.bfloat16,
 ) -> Iterator[StreamChunk]:
-    """Yield ~``chunk_frames/86``-second audio chunks as they are generated."""
+    """Yield ~``chunk_frames/86``-second audio chunks as they are generated.
+
+    ``input_values`` (B, T) raw audio — or pre-computed ``decoder_input_codes``
+    (B, K, frames) — enables voice-prompted streaming (audio continuation),
+    matching :func:`generate.generate`'s contract."""
     dcfg = cfg.decoder
     b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
     max_length = max_length or gen.max_length
@@ -165,16 +184,30 @@ def stream_generate(
         attention_mask = jnp.ones(input_ids.shape, jnp.int32)
     if prompt_attention_mask is None:
         prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
+    if input_values is not None:
+        assert decoder_input_codes is None
+        decoder_input_codes = dac_mod.encode(
+            params["audio_encoder"], cfg.audio_encoder, input_values
+        )
+    if (
+        decoder_input_codes is not None
+        and dcfg.audio_channels == 2
+        and decoder_input_codes.shape[1] == dcfg.num_codebooks // 2
+    ):
+        # mono codes into a stereo decoder (reference :2042-2044)
+        decoder_input_codes = jnp.repeat(decoder_input_codes, 2, axis=1)
+    audio_prompt_frames = 0 if decoder_input_codes is None else int(decoder_input_codes.shape[2])
 
     window = lookback + chunk_frames
     can_vocode = "audio_encoder" in params
     dtype_name = jnp.dtype(dtype).name
     prefill, run_chunk, vocode_window = _build_stream_fns(
-        cfg, gen, b, max_length, window, dtype_name, can_vocode
+        cfg, gen, b, max_length, window, dtype_name, can_vocode, audio_prompt_frames
     )
 
     state, pattern, enc_mask, fused_mask = prefill(
-        params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask, key
+        params, input_ids, attention_mask, prompt_input_ids, prompt_attention_mask,
+        decoder_input_codes, key
     )
 
     hop = cfg.audio_encoder.hop_length
@@ -199,6 +232,13 @@ def stream_generate(
         if new_frames > 0:
             # clean specials then vocode a fixed window ending at `ready`
             cb = cfg.audio_encoder.codebook_size
+            # per-sample valid length = first frame holding any special
+            # (EOS/PAD) — samples that finished early stop emitting audio
+            # (the batch keeps decoding for the unfinished ones)
+            special = (codes_full[:, :, :ready] >= cb).any(axis=1)  # (B, ready)
+            valid_lengths = np.where(
+                special.any(axis=1), special.argmax(axis=1), ready
+            ).astype(np.int64)
             win_start = max(0, ready - window)
             codes_win = codes_full[:, :, win_start:ready]
             codes_win = np.where(codes_win >= cb, 0, codes_win)
@@ -207,14 +247,20 @@ def stream_generate(
                 codes_win = np.pad(codes_win, ((0, 0), (0, 0), (pad_w, 0)))
             if can_vocode:
                 audio_win = np.asarray(vocode_window(params, codes_win))
-                new_audio = audio_win[:, -new_frames * hop:]
+                new_audio = np.array(audio_win[:, -new_frames * hop:])
             else:
                 new_audio = np.zeros((b, new_frames * hop), np.float32)
+            # zero audio past each sample's valid end within this chunk
+            for i in range(b):
+                cut = max(0, int(valid_lengths[i]) - emitted_frames) * hop
+                if cut < new_audio.shape[1]:
+                    new_audio[i, cut:] = 0.0
             yield StreamChunk(
                 audio=new_audio,
                 codes=codes_full[:, :, emitted_frames:ready],
                 frame_offset=emitted_frames,
                 finished=done,
+                valid_lengths=valid_lengths,
             )
             emitted_frames = ready
         if done:

@@ -46,6 +46,7 @@ from parler_tts_tpu.ops.nn import (
     Params,
     _precision,
     dense,
+    dropout,
     layer_norm,
     merge_heads,
     normal_init,
@@ -144,16 +145,20 @@ def _self_attention_full(
     x: jnp.ndarray,
     mask: jnp.ndarray | None,
     flash_ctx: jnp.ndarray | None = None,
+    attn_key: jnp.ndarray | None = None,
 ):
     """Full-sequence causal self-attention (training / prefill-from-0).
-    Returns (out, (k_local, v_local)) — the sequence K/V for cache insert."""
+    Returns (out, (k_local, v_local)) — the sequence K/V for cache insert.
+    ``attn_key`` enables attention-prob dropout (reference ``:363``) —
+    when active it forces the score-materializing XLA path."""
     scale = cfg.head_dim**-0.5
     q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale
     k = split_heads(dense(p["k"], x), cfg.num_attention_heads)
     v = split_heads(dense(p["v"], x), cfg.num_attention_heads)
     dtype = q.dtype
+    attn_dropout_on = attn_key is not None and cfg.attention_dropout > 0.0
 
-    if q.shape[2] > 1 and flash_ctx is not None and runtime_flags.use_pallas():
+    if q.shape[2] > 1 and flash_ctx is not None and runtime_flags.use_pallas() and not attn_dropout_on:
         # pallas flash attention — no score materialization
         from parler_tts_tpu.ops.pallas.flash_attention import flash_attention_bhtd
 
@@ -166,6 +171,8 @@ def _self_attention_full(
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if attn_dropout_on:
+            probs = dropout(attn_key, probs, cfg.attention_dropout)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
     return dense(p["o"], merge_heads(out)), (k, v)
 
@@ -212,18 +219,17 @@ def _self_attention_decode(
         start = None
         if kv_pad_mask is not None:
             # contiguous left padding: first valid position per row
-            row_start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
-            start = jnp.repeat(row_start, h)
+            start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
         out = decode_attention(
-            q.reshape(b * h, 1, d),
-            past_k.reshape(b * h, t_max, d).astype(dtype),
-            past_v.reshape(b * h, t_max, d).astype(dtype),
+            q[:, :, 0],
+            past_k.astype(dtype),
+            past_v.astype(dtype),
             index,
             start,
-            k_new=k_new.reshape(b * h, 1, d).astype(dtype),
-            v_new=v_new.reshape(b * h, 1, d).astype(dtype),
+            k_new=k_new[:, :, 0].astype(dtype),
+            v_new=v_new[:, :, 0].astype(dtype),
             scale=1.0,  # q pre-scaled
-        ).reshape(b, h, 1, d)
+        )[:, :, None, :]
     else:
         s_past = jnp.einsum("bhqd,bhkd->bhqk", q, past_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
         key_ok = jnp.arange(t_max)[None, None, None, :] < index
@@ -247,6 +253,7 @@ def _cross_attention(
     enc: jnp.ndarray | None,
     enc_mask: jnp.ndarray | None,
     cached_kv: tuple[jnp.ndarray, jnp.ndarray] | None,
+    attn_key: jnp.ndarray | None = None,
 ):
     """Cross-attention with optional precomputed K/V (reference ``:287-298``)."""
     scale = cfg.head_dim**-0.5
@@ -262,6 +269,8 @@ def _cross_attention(
     if enc_mask is not None:
         scores = jnp.where(enc_mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    if attn_key is not None and cfg.attention_dropout > 0.0:
+        probs = dropout(attn_key, probs, cfg.attention_dropout)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
     return dense(p["o"], merge_heads(out)), (k, v)
 
@@ -275,22 +284,33 @@ def _layer_full(
     enc_mask,
     cross_cache,
     flash_ctx=None,
+    key: jnp.ndarray | None = None,
 ):
-    """Full-sequence layer (training / prefill)."""
+    """Full-sequence layer (training / prefill).  ``key`` enables train-mode
+    dropout at the reference's application sites: attention probs (``:363``),
+    residual branches (``:459, 479, 491``), FFN activation (``:489``)."""
     act = ACTIVATIONS[cfg.activation_function]
+    if key is not None:
+        k_sa, k_r1, k_ca, k_r2, k_act, k_r3 = jax.random.split(key, 6)
+    else:
+        k_sa = k_r1 = k_ca = k_r2 = k_act = k_r3 = None
+
     h = layer_norm(lp["ln_self"], x)
-    attn_out, self_kv = _self_attention_full(lp["self_attn"], cfg, h, self_mask, flash_ctx)
-    x = x + attn_out
+    attn_out, self_kv = _self_attention_full(lp["self_attn"], cfg, h, self_mask, flash_ctx, k_sa)
+    x = x + dropout(k_r1, attn_out, cfg.dropout)
 
     cross_kv = None
     if enc is not None or cross_cache is not None:
         h = layer_norm(lp["ln_cross"], x)
-        attn_out, cross_kv = _cross_attention(lp["cross_attn"], cfg, h, enc, enc_mask, cross_cache)
-        x = x + attn_out
+        attn_out, cross_kv = _cross_attention(
+            lp["cross_attn"], cfg, h, enc, enc_mask, cross_cache, k_ca
+        )
+        x = x + dropout(k_r2, attn_out, cfg.dropout)
 
     h = layer_norm(lp["ln_ffn"], x)
-    h = dense(lp["fc2"], act(dense(lp["fc1"], h)))
-    return x + h, self_kv, cross_kv
+    h = dropout(k_act, act(dense(lp["fc1"], h)), cfg.activation_dropout)
+    h = dense(lp["fc2"], h)
+    return x + dropout(k_r3, h, cfg.dropout), self_kv, cross_kv
 
 
 def _layer_decode(
@@ -334,9 +354,16 @@ def forward(
     attention_mask: jnp.ndarray | None = None,
     cache: KVCache | None = None,
     prefill: bool = False,
+    train_key: jnp.ndarray | None = None,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
+
+    ``train_key``: PRNG key enabling train-mode dropout + layerdrop in the
+    full-sequence path (reference applies ``config.dropout`` on the embedded
+    sequence at ``:888``, per-layer dropouts at ``:363, 459-491``, layerdrop
+    at ``:912-917``).  ``None`` (the default) is eval mode — identical graphs
+    to round 1.  Only valid without a cache (training, not prefill/decode).
 
     Full-sequence mode (``cache is None`` or ``cache.index == 0`` prefill):
       ``decoder_input_ids`` (B, K, T); prompt hidden states are prepended;
@@ -399,11 +426,30 @@ def forward(
     enc = encoder_hidden_states.astype(dtype) if encoder_hidden_states is not None else None
 
     if cache is None:
-        def scan_body(x, lp):
-            x, _, _ = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
-            return x, None
+        if train_key is None:
+            def scan_body(x, lp):
+                x, _, _ = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
+                return x, None
 
-        x, _ = lax.scan(scan_body, x, layers)
+            x, _ = lax.scan(scan_body, x, layers)
+        else:
+            emb_key, lk_key, ld_key = jax.random.split(train_key, 3)
+            x = dropout(emb_key, x, cfg.dropout)  # reference :888
+            layer_keys = jax.random.split(lk_key, cfg.num_hidden_layers)
+            # layerdrop (reference :912-917): per-layer Bernoulli skip
+            if cfg.layerdrop > 0.0:
+                keep = jax.random.uniform(ld_key, (cfg.num_hidden_layers,)) >= cfg.layerdrop
+            else:
+                keep = jnp.ones((cfg.num_hidden_layers,), bool)
+
+            def scan_body(x, s):
+                lp, lkey, keep_l = s
+                x_new, _, _ = _layer_full(
+                    lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx, key=lkey
+                )
+                return jnp.where(keep_l, x_new, x), None
+
+            x, _ = lax.scan(scan_body, x, (layers, layer_keys, keep))
         new_cache = None
     elif prefill:
         # prefill from index 0: attention over the local sequence only; scan

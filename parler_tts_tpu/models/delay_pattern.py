@@ -138,22 +138,32 @@ def build_delay_pattern_labels(
 
     Static-shape equivalent of the training script's label construction
     (``/root/reference/training/run_parler_tts_training.py:1164-1213``):
-    prepend one BOS frame, delay codebook ``k`` by ``k``, append exactly one
-    EOS per codebook right after its (delayed) data, fill the remainder with
-    ``ignore_id``.  The reference then masks BOS (and later trims) so the loss
-    sees ``[codes..., EOS]`` per codebook; we emit ``ignore_id`` directly where
-    the reference would mask.
+    prepend one BOS frame, delay codebook ``k`` by ``k``, fill beyond the data
+    with EOS, then drop the all-BOS first timestep.  Per sample of length
+    ``L``, label row ``k`` is therefore::
+
+        [BOS]*k + codes_k[:L] + [EOS]*(K-k) + [ignore]*padding
+
+    i.e. *real* BOS tokens in the delay region (the reference masks them to
+    -100 inside the loss, ``modeling_parler_tts.py:1155`` — our
+    :func:`~parler_tts_tpu.models.decoder.loss_fn` does the same), EOS fill to
+    ``L + K`` per sample (extra EOS positions are excluded from the loss
+    because their *inputs* are EOS, reference ``:1157``), ``ignore_id`` for
+    batch padding beyond (the reference collator pads with -100,
+    ``run_parler_tts_training.py:551-555``).  Keeping BOS in the labels is
+    load-bearing: ``labels_to_decoder_inputs`` right-shifts the labels into
+    decoder inputs, so codebook ``k`` sees BOS at positions ``0..k`` during
+    training — exactly what the delay pattern forces at inference.
 
     Args:
       codes: ``(batch, K, T_codes)`` raw (un-delayed) codec tokens, right
         padded arbitrarily past each sample's true length.
       lengths: ``(batch,)`` true code lengths per sample.
-      max_length: static label length ``T``; must fit
-        ``1 (bos) + T_codes + K`` for the longest sample.
+      max_length: static label length ``T``; must fit ``T_codes + K`` for the
+        longest sample.
 
     Returns:
-      ``(batch, K, max_length)`` labels: delayed codes with one EOS per
-      codebook, ``ignore_id`` elsewhere (BOS region and padding).
+      ``(batch, K, max_length)`` labels as above.
     """
     codes = jnp.asarray(codes, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
@@ -162,21 +172,19 @@ def build_delay_pattern_labels(
     k = jnp.arange(num_codebooks)[None, :, None]  # (1,K,1)
     lens = lengths[:, None, None]  # (B,1,1)
 
-    # after BOS prepend + delay, codebook k's data occupies [1+k, 1+k+len)
-    src = jnp.clip(t - 1 - k, 0, t_codes - 1)
+    # after BOS prepend + delay + first-timestep drop, codebook k's data
+    # occupies [k, k + len)
+    src = jnp.clip(t - k, 0, t_codes - 1)
     gathered = jnp.take_along_axis(
         codes, jnp.broadcast_to(src, (batch, num_codebooks, max_length)), axis=2
     )
-    in_data = (t >= 1 + k) & (t < 1 + k + lens)
-    eos_pos = t == 1 + k + lens
+    in_data = (t >= k) & (t < k + lens)
+    eos_region = (t >= k + lens) & (t < lens + num_codebooks)
 
     labels = jnp.full((batch, num_codebooks, max_length), ignore_id, dtype=codes.dtype)
+    labels = jnp.where(t < k, jnp.asarray(bos_token_id, codes.dtype), labels)
     labels = jnp.where(in_data, gathered, labels)
-    labels = jnp.where(eos_pos, jnp.asarray(eos_token_id, codes.dtype), labels)
-    # BOS frame at t==0 and the BOS delay region t < 1+k are *inputs*, not
-    # targets (reference masks them to -100 at modeling_parler_tts.py:1155)
-    bos_region = t < 1 + k
-    labels = jnp.where(bos_region, jnp.asarray(ignore_id, codes.dtype), labels)
+    labels = jnp.where(eos_region, jnp.asarray(eos_token_id, codes.dtype), labels)
     return labels
 
 

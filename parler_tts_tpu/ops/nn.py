@@ -42,6 +42,17 @@ FP32 = DTypePolicy(jnp.float32, jnp.float32)
 BF16 = DTypePolicy(jnp.float32, jnp.bfloat16)
 
 
+def dropout(key: jnp.ndarray | None, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted dropout (torch ``nn.functional.dropout`` semantics, as used
+    throughout the reference decoder — ``modeling_parler_tts.py:363, 459-491,
+    888``).  ``rate`` is a static Python float; ``key is None`` or rate 0
+    is the identity (eval mode compiles dropout away entirely)."""
+    if key is None or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
 def _precision(x: jnp.ndarray):
     """fp32 activations get exact matmuls (XLA's default is fast-math and
     loses ~3 decimal digits, breaking the allclose quality gate); bf16 paths

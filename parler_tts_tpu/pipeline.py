@@ -25,7 +25,9 @@ def _bucket(n: int, sizes=(16, 32, 64, 128, 256)) -> int:
     for s in sizes:
         if n <= s:
             return s
-    return sizes[-1]
+    # beyond the largest fixed bucket, round up to 64 (rare giant inputs
+    # get their own compilation instead of a negative-pad crash)
+    return ((n + 63) // 64) * 64
 
 
 @dataclasses.dataclass
@@ -39,7 +41,16 @@ class ParlerTTSPipeline:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, *, tokenizer_name: str | None = None, dtype=jnp.bfloat16):
+        from parler_tts_tpu.ops.nn import astype_tree
+        from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         params, cfg, gen = ck.load_model(model_dir)
+        if dtype != jnp.float32:
+            # inference holds ONLY compute-dtype weights on device — fp32
+            # masters doubled the decode HBM envelope (and weight-stream
+            # traffic) in round 1
+            params = astype_tree(params, dtype)
         tok = None
         if tokenizer_name is not None:
             from transformers import AutoTokenizer

@@ -45,6 +45,9 @@ class DataTrainingArguments:
     train_dataset_config_name: str = ""
     train_split_name: str = "train"
     train_metadata_dataset_name: str | None = None
+    train_dataset_samples: str | None = None  # `+`-separated weights (:295)
+    streaming: bool = False  # interleave streams (reference :657, 769-780)
+    stopping_strategy: str = "first_exhausted"
     eval_dataset_name: str | None = None
     eval_dataset_config_name: str | None = None
     eval_split_name: str = "test"
@@ -93,6 +96,7 @@ class TrainingArguments:
     save_steps: int = 500
     eval_steps: int = 500
     save_total_limit: int | None = None
+    group_by_length: bool = False  # reference LengthGroupedSampler (:1561-1562)
     seed: int = 42
     dtype: str = "bfloat16"
     resume_from_checkpoint: str | None = None

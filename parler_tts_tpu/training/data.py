@@ -86,44 +86,78 @@ def parse_dataset_spec(
     ]
 
 
-def load_multiple_datasets(specs: Sequence[DatasetSpec], *, sampling_rate: int | None = None,
-                           columns: Sequence[str] = (), id_column: str = "id"):
+def load_multiple_datasets(
+    specs: Sequence[DatasetSpec],
+    *,
+    sampling_rate: int | None = None,
+    columns: Sequence[str] = (),
+    id_column: str = "id",
+    streaming: bool = False,
+    stopping_strategy: str = "first_exhausted",
+    seed: int | None = None,
+):
     """Load + merge datasets with metadata side-datasets (reference
     ``load_multiple_datasets`` ``:648-780``): per-spec load, audio cast to the
     codec sampling rate, metadata column-concat with id-equality verification,
-    then concatenation.  Local paths use ``load_from_disk``."""
+    then merge.  Local paths use ``load_from_disk``.
+
+    Merge semantics follow the reference exactly (``:759-780``): in
+    ``streaming`` mode the datasets are **probability-weighted interleaved**
+    (weights from each spec's ``samples`` count, the reference's
+    ``train_dataset_samples``) with the given ``stopping_strategy``; in
+    map-style mode they are concatenated.
+    """
     import datasets as hfds
+
+    probs = None
+    if any(s.samples for s in specs):
+        counts = np.asarray([float(s.samples or 1) for s in specs])
+        probs = counts / counts.sum()
 
     parts = []
     for spec in specs:
         try:
-            ds = hfds.load_from_disk(spec.name) if _is_local(spec.name) else hfds.load_dataset(
-                spec.name, spec.config, split=spec.split
-            )
-            if isinstance(ds, hfds.DatasetDict):
+            if _is_local(spec.name):
+                ds = hfds.load_from_disk(spec.name)
+            else:
+                ds = hfds.load_dataset(spec.name, spec.config, split=spec.split, streaming=streaming)
+            if isinstance(ds, (hfds.DatasetDict, hfds.IterableDatasetDict)):
                 ds = ds[spec.split]
         except Exception as e:  # pragma: no cover
             raise RuntimeError(f"failed to load dataset {spec.name!r}: {e}") from e
-        if sampling_rate is not None and "audio" in ds.column_names:
+        if sampling_rate is not None and "audio" in (ds.column_names or ()):
             ds = ds.cast_column("audio", hfds.Audio(sampling_rate=sampling_rate))
         if spec.metadata_name:
-            md = hfds.load_from_disk(spec.metadata_name) if _is_local(spec.metadata_name) else hfds.load_dataset(
-                spec.metadata_name, spec.config, split=spec.split
-            )
-            # verify row alignment by id equality (reference :745-757)
-            if id_column in ds.column_names and id_column in md.column_names:
-                ids_a = ds[id_column]
-                ids_b = md[id_column]
-                if list(ids_a[: min(64, len(ids_a))]) != list(ids_b[: min(64, len(ids_b))]):
-                    raise ValueError(f"metadata id mismatch for {spec.name}")
-                md = md.remove_columns([id_column])
-            new_cols = [c for c in md.column_names if c not in ds.column_names]
-            for c in new_cols:
-                ds = ds.add_column(c, md[c])
-        if spec.samples:
-            ds = ds.select(range(min(spec.samples, len(ds))))
+            if _is_local(spec.metadata_name):
+                md = hfds.load_from_disk(spec.metadata_name)
+            else:
+                md = hfds.load_dataset(spec.metadata_name, spec.config, split=spec.split, streaming=streaming)
+            if isinstance(md, (hfds.DatasetDict, hfds.IterableDatasetDict)):
+                md = md[spec.split]
+            if streaming or not hasattr(ds, "__len__"):
+                # reference merges streaming metadata by column concat (:725-744)
+                md = md.remove_columns([c for c in (md.column_names or ()) if c in (ds.column_names or ())])
+                ds = hfds.concatenate_datasets([ds, md], axis=1)
+            else:
+                # verify row alignment by id equality over ALL rows (:745-757)
+                if id_column in ds.column_names and id_column in md.column_names:
+                    if list(ds[id_column]) != list(md[id_column]):
+                        raise ValueError(f"metadata id mismatch for {spec.name}")
+                    md = md.remove_columns([id_column])
+                new_cols = [c for c in md.column_names if c not in ds.column_names]
+                for c in new_cols:
+                    ds = ds.add_column(c, md[c])
+        if spec.samples and not streaming and hasattr(ds, "__len__"):
+            ds = ds.select(range(min(int(spec.samples), len(ds))))
         parts.append(ds)
-    return hfds.concatenate_datasets(parts) if len(parts) > 1 else parts[0]
+
+    if len(parts) == 1:
+        return parts[0]
+    if streaming:
+        return hfds.interleave_datasets(
+            parts, probabilities=probs, stopping_strategy=stopping_strategy, seed=seed
+        )
+    return hfds.concatenate_datasets(parts)
 
 
 def _is_local(name: str) -> bool:

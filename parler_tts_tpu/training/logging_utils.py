@@ -42,6 +42,46 @@ class MetricLogger:
                           if k not in ("time",))
         print(f"[{prefix}] {shown}", flush=True)
 
+    def log_predictions(self, *, step: int, prompts, descriptions, audio,
+                        sampling_rate: int, max_audios: int = 100) -> None:
+        """Prediction table + audio samples (reference ``log_pred``
+        ``:146-189``): rows go to ``predictions.jsonl``; up to ``max_audios``
+        WAVs are written under ``predictions/step-{N}/`` (and to wandb as a
+        Table + Audio when active)."""
+        import numpy as np
+
+        from parler_tts_tpu.utils.audio_io import write_wav
+
+        out_dir = os.path.dirname(self.path)
+        rows = []
+        wav_dir = os.path.join(out_dir, "predictions", f"step-{step}")
+        for i, (p, d) in enumerate(zip(prompts, descriptions)):
+            rec = {"step": int(step), "i": i, "prompt": p, "description": d}
+            if i < len(audio) and i < max_audios and np.asarray(audio[i]).size:
+                os.makedirs(wav_dir, exist_ok=True)
+                wav_path = os.path.join(wav_dir, f"sample_{i}.wav")
+                write_wav(wav_path, np.asarray(audio[i], np.float32), sampling_rate)
+                rec["audio"] = wav_path
+            rows.append(rec)
+        with open(os.path.join(out_dir, "predictions.jsonl"), "a") as f:
+            for rec in rows:
+                f.write(json.dumps(rec) + "\n")
+        if self.wandb is not None:
+            try:
+                import wandb
+
+                table = wandb.Table(
+                    columns=["prompt", "description"],
+                    data=[[r.get("prompt"), r.get("description")] for r in rows],
+                )
+                payload: dict[str, Any] = {"eval/predictions": table}
+                for i, r in enumerate(rows[:max_audios]):
+                    if "audio" in r:
+                        payload[f"eval/audio_{i}"] = wandb.Audio(r["audio"])
+                self.wandb.log(payload, step=step)
+            except Exception:
+                pass
+
     def close(self) -> None:
         self._f.close()
         if self.wandb is not None:

@@ -12,14 +12,18 @@ Stages (mirroring the reference's ``main()``):
   1. args (JSON or flags) → seed → mesh ((data, model) axes replace DDP);
   2. model load/init (``model_name_or_path`` artifact dir, else from-scratch
      dummy/mini geometry);
-  3. data: dataset load+merge → text tokenization → offline DAC audio
-     tokenization (JAX, per-host shard) → delay-pattern labels → filters;
-     ``synthetic://N`` fabricates N random samples for smoke/perf runs
-     (this image has no libsndfile, so audio-column datasets need
-     pre-tokenized codes — see ``prepare_synthetic`` / ``prepare_hf``);
-  4. optimizer (AdamW + schedule), resume from rotating checkpoints;
-  5. epoch/step loop: sharded jit train step, grad accumulation, clipping,
-     periodic save+rotate, eval loss pass, JSONL/wandb metrics.
+  3. data: dataset load+merge (probability-weighted interleave in streaming
+     mode) → text tokenization → offline DAC audio tokenization (JAX,
+     per-host shard) → delay-pattern labels → duration/token-length filters
+     → optional processed-dataset disk cache (``save_to_disk``, reference
+     ``:1251-1257``); ``synthetic://N`` fabricates N random samples for
+     smoke/perf runs;
+  4. optimizer (AdamW + schedule), resume from rotating checkpoints
+     (sharded template restore + intra-epoch batch cursor);
+  5. epoch/step loop: sharded jit train step with decoder dropout,
+     grad accumulation (save/eval/max_steps count **optimizer** steps, like
+     the reference ``:1580-1591``), clipping, periodic save+rotate, eval on
+     the eval split with WER/CLAP hooks, JSONL/wandb metrics.
 """
 
 from __future__ import annotations
@@ -63,20 +67,43 @@ def prepare_synthetic(n: int, cfg, *, seed: int = 0, desc_len: int = 24, prompt_
     return samples
 
 
-def prepare_hf(data_args, model_args, cfg, dac_params) -> list[dict]:
+def prepare_hf(data_args, model_args, cfg, dac_params, *, split: str = "train",
+               max_samples: int | None = None) -> list[dict]:
     """Real-dataset path: load+merge HF datasets, tokenize text columns,
-    run the frozen DAC over audio, build labels (reference ``:935-1257``)."""
+    run the frozen DAC over audio, build labels, apply the reference's
+    duration + token-length filters (reference ``:935-1257``).
+
+    ``split`` selects the train or eval dataset args (the reference loads a
+    separate eval split at ``:991-1006``).  In streaming mode the interleaved
+    stream is materialized up to ``max_samples`` (which is then required).
+    Codec codes are cached under ``temporary_save_to_disk`` (reference
+    ``:1167-1177``) so re-runs skip the DAC encode pass.
+    """
     from transformers import AutoTokenizer
 
     from parler_tts_tpu.training import data as D
 
-    specs = D.parse_dataset_spec(
-        data_args.train_dataset_name,
-        data_args.train_dataset_config_name,
-        data_args.train_split_name,
-        data_args.train_metadata_dataset_name,
+    if split == "train":
+        specs = D.parse_dataset_spec(
+            data_args.train_dataset_name,
+            data_args.train_dataset_config_name,
+            data_args.train_split_name,
+            data_args.train_metadata_dataset_name,
+            data_args.train_dataset_samples,
+        )
+    else:
+        specs = D.parse_dataset_spec(
+            data_args.eval_dataset_name or data_args.train_dataset_name,
+            data_args.eval_dataset_config_name or data_args.train_dataset_config_name,
+            data_args.eval_split_name,
+            data_args.eval_metadata_dataset_name,
+        )
+    ds = D.load_multiple_datasets(
+        specs,
+        sampling_rate=cfg.audio_encoder.sampling_rate,
+        streaming=data_args.streaming,
+        stopping_strategy=data_args.stopping_strategy,
     )
-    ds = D.load_multiple_datasets(specs, sampling_rate=cfg.audio_encoder.sampling_rate)
 
     desc_tok = AutoTokenizer.from_pretrained(model_args.description_tokenizer_name or model_args.model_name_or_path)
     prompt_tok = AutoTokenizer.from_pretrained(model_args.prompt_tokenizer_name or model_args.model_name_or_path)
@@ -84,6 +111,9 @@ def prepare_hf(data_args, model_args, cfg, dac_params) -> list[dict]:
     sr = cfg.audio_encoder.sampling_rate
     min_len = int(data_args.min_duration_in_seconds * sr)
     max_len = int(data_args.max_duration_in_seconds * sr)
+
+    if data_args.streaming and max_samples is None:
+        raise ValueError("streaming mode needs max_train_samples/max_eval_samples to bound the stream")
 
     audio, rows = [], []
     for ex in ds:
@@ -94,28 +124,72 @@ def prepare_hf(data_args, model_args, cfg, dac_params) -> list[dict]:
             continue
         audio.append(wav)
         rows.append(ex)
+        if max_samples is not None and len(rows) >= max_samples:
+            break
 
-    codes_list = D.tokenize_audio_batches(
-        dac_params, cfg.audio_encoder, audio, batch_size=data_args.audio_encoder_batch_size
-    )
+    # ----- codec codes, disk-cached (reference :1167-1177) -----
+    codes_list = None
+    cache_path = None
+    if data_args.temporary_save_to_disk:
+        os.makedirs(data_args.temporary_save_to_disk, exist_ok=True)
+        cache_path = os.path.join(data_args.temporary_save_to_disk, f"{split}_codes.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            if int(z["n"]) == len(audio):
+                codes_list = [z[f"c{i}"] for i in range(len(audio))]
+                print(f"[data] reusing cached codes: {cache_path}")
+    if codes_list is None:
+        codes_list = D.tokenize_audio_batches(
+            dac_params, cfg.audio_encoder, audio, batch_size=data_args.audio_encoder_batch_size
+        )
+        if cache_path:
+            np.savez(cache_path, n=len(codes_list), **{f"c{i}": c for i, c in enumerate(codes_list)})
+
     t_lab = int(data_args.max_duration_in_seconds * cfg.audio_encoder.frame_rate) + cfg.decoder.num_codebooks + 2
     samples = []
     for ex, codes in zip(rows, codes_list):
+        desc_ids = np.asarray(desc_tok(ex[data_args.description_column_name]).input_ids)
+        prompt_ids = np.asarray(prompt_tok(ex[data_args.prompt_column_name]).input_ids)
+        # token-length filters (reference :1218-1249)
+        if data_args.max_description_token_length and len(desc_ids) > data_args.max_description_token_length:
+            continue
+        if data_args.max_prompt_token_length and len(prompt_ids) > data_args.max_prompt_token_length:
+            continue
         labels, _ = D.build_labels(
             [codes.astype(np.int32)], bos_token_id=cfg.decoder.bos_token_id,
-            eos_token_id=cfg.decoder.eos_token_id, max_length=min(t_lab, codes.shape[1] + cfg.decoder.num_codebooks + 2),
+            eos_token_id=cfg.decoder.eos_token_id,
+            max_length=min(t_lab, codes.shape[1] + cfg.decoder.num_codebooks + 2),
         )
-        samples.append(
-            {
-                "input_ids": np.asarray(desc_tok(ex[data_args.description_column_name]).input_ids),
-                "prompt_input_ids": np.asarray(prompt_tok(ex[data_args.prompt_column_name]).input_ids),
-                "labels": labels[0],
-            }
-        )
+        samples.append({"input_ids": desc_ids, "prompt_input_ids": prompt_ids, "labels": labels[0],
+                        "prompt_text": ex.get(data_args.prompt_column_name),
+                        "description_text": ex.get(data_args.description_column_name)})
+    return samples
+
+
+def _load_or_prepare(data_args, model_args, cfg, dac_params, *, split: str,
+                     max_samples: int | None) -> list[dict]:
+    """Processed-dataset disk cache around :func:`prepare_hf` (reference
+    ``save_to_disk``, ``:1251-1257``): second runs load the prepared samples
+    without touching the source datasets or the codec."""
+    cache = None
+    if data_args.save_to_disk:
+        os.makedirs(data_args.save_to_disk, exist_ok=True)
+        cache = os.path.join(data_args.save_to_disk, f"{split}_prepared.npy")
+        if os.path.exists(cache):
+            samples = list(np.load(cache, allow_pickle=True))
+            print(f"[data] loaded {len(samples)} prepared samples from {cache}")
+            return samples
+    samples = prepare_hf(data_args, model_args, cfg, dac_params, split=split, max_samples=max_samples)
+    if cache:
+        np.save(cache, np.asarray(samples, dtype=object), allow_pickle=True)
+        print(f"[data] saved {len(samples)} prepared samples to {cache}")
     return samples
 
 
 def main(argv: list[str] | None = None) -> dict:
+    from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 
@@ -153,29 +227,59 @@ def main(argv: list[str] | None = None) -> dict:
         n = int(data_args.train_dataset_name.split("://", 1)[1])
         samples = prepare_synthetic(n, cfg, seed=train_args.seed)
     else:
-        samples = prepare_hf(data_args, model_args, cfg, params.get("audio_encoder"))
+        samples = _load_or_prepare(data_args, model_args, cfg, params.get("audio_encoder"),
+                                   split="train", max_samples=data_args.max_train_samples)
     if data_args.max_train_samples:
         samples = samples[: data_args.max_train_samples]
+
+    # separate eval split (reference loads eval_dataset_name at :991-1006;
+    # falls back to a held-out slice of train rather than eval==train)
+    eval_samples: list[dict] = []
+    if train_args.do_eval:
+        if data_args.train_dataset_name.startswith("synthetic://"):
+            n_eval = data_args.max_eval_samples or 16
+            eval_samples = prepare_synthetic(n_eval, cfg, seed=train_args.seed + 1)
+        elif data_args.eval_dataset_name:
+            eval_samples = _load_or_prepare(data_args, model_args, cfg, params.get("audio_encoder"),
+                                            split="eval", max_samples=data_args.max_eval_samples)
+        else:
+            eval_samples = samples[: data_args.max_eval_samples or 16]
+        if data_args.max_eval_samples:
+            eval_samples = eval_samples[: data_args.max_eval_samples]
+
     if jax.process_count() > 1:
         # per-host shard of the dataset (replaces Accelerate dispatch,
         # reference :1137-1145); global batch assembled across hosts below
         samples = dist.process_shard(samples)
+        eval_samples = dist.process_shard(eval_samples)
     if data_args.preprocessing_only:  # reference escape hatch :415-426
         print(f"preprocessing_only: prepared {len(samples)} samples")
         return {"samples": len(samples)}
 
-    label_len = max(s["labels"].shape[1] for s in samples)
+    all_samples = samples + eval_samples
+    label_len = max(s["labels"].shape[1] for s in all_samples)
+    if data_args.pad_to_max_length:
+        # static maxima (reference :1259-1268; on TPU this guarantees one
+        # compilation across epochs even with ragged data)
+        label_len = int(data_args.max_duration_in_seconds * cfg.audio_encoder.frame_rate) + cfg.decoder.num_codebooks + 2
+    desc_len = data_args.max_description_token_length if (
+        data_args.pad_to_max_length and data_args.max_description_token_length
+    ) else max(len(s["input_ids"]) for s in all_samples)
+    prompt_len = data_args.max_prompt_token_length if (
+        data_args.pad_to_max_length and data_args.max_prompt_token_length
+    ) else max(len(s["prompt_input_ids"]) for s in all_samples)
     collator = Collator(
         description_pad_id=0,
         prompt_pad_id=0,
-        max_description_len=max(len(s["input_ids"]) for s in samples),
-        max_prompt_len=max(len(s["prompt_input_ids"]) for s in samples),
+        max_description_len=desc_len,
+        max_prompt_len=prompt_len,
         label_len=label_len,
     )
 
     # ----- optimizer + state -----
+    accum = max(1, train_args.gradient_accumulation_steps)
     per_step = train_args.per_device_train_batch_size * (n_dev // model_par)
-    steps_per_epoch = len(samples) // per_step // max(1, train_args.gradient_accumulation_steps)
+    steps_per_epoch = len(samples) // per_step // accum
     total_steps = (
         train_args.max_steps
         if train_args.max_steps > 0
@@ -193,98 +297,182 @@ def main(argv: list[str] | None = None) -> dict:
         max_grad_norm=train_args.max_grad_norm,
         grad_accum_steps=train_args.gradient_accumulation_steps,
     )
-    state, frozen = tstep.create_state(params, tx)
-
-    # shard params/frozen on mesh
+    # shard params/frozen on mesh BEFORE building the optimizer state so the
+    # opt_state leaves inherit mesh-committed shardings (the resume template
+    # then restores onto the mesh, and step/opt_state/params device sets agree)
+    trainable, frozen = tstep.split_params(params)
     full_specs = pmesh.composite_param_specs(params)
-    state = tstep.TrainState(
-        state.step,
-        pmesh.shard_params(state.params, mesh, {k: full_specs[k] for k in state.params}),
-        state.opt_state,
-    )
+    trainable = pmesh.shard_params(trainable, mesh, {k: full_specs[k] for k in trainable})
     frozen = pmesh.shard_params(frozen, mesh, {k: full_specs[k] for k in frozen})
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    # eager init propagates the params' NamedShardings into same-shaped moment
+    # leaves; scalars (counts) come out single-device and are re-committed
+    # replicated so every TrainState leaf lives on the same device set
+    opt_state = jax.tree.map(
+        lambda x: x if isinstance(x.sharding, jax.sharding.NamedSharding)
+        else jax.device_put(x, replicated),
+        tx.init(trainable),
+    )
+    state = tstep.TrainState(
+        jax.device_put(jnp.zeros((), jnp.int32), replicated), trainable, opt_state
+    )
 
-    # ----- resume (reference :853-866, 1455-1467) -----
-    start_epoch, done_steps = 0, 0
+    # ----- resume (reference :853-866, 1455-1482) -----
+    # done_steps counts OPTIMIZER steps (reference counts accelerator sync
+    # steps, :1580-1591); skip_micro is the intra-epoch batch cursor
+    # (reference skip_first_batches, :1575-1578).
+    start_epoch, done_steps, skip_micro = 0, 0, 0
     resume = train_args.resume_from_checkpoint or ck.latest_checkpoint(train_args.output_dir)
     if resume and os.path.isdir(resume):
-        payload, meta = ck.load_train_state(resume)
-        opt_state = state.opt_state
-        if "opt_state" in payload:
-            # orbax restores plain dicts; rebuild optax NamedTuple structure
-            opt_state = jax.tree.unflatten(
-                jax.tree.structure(state.opt_state), jax.tree.leaves(payload["opt_state"])
-            )
-        state = tstep.TrainState(jnp.asarray(meta.get("step", 0), jnp.int32), payload["params"], opt_state)
+        # template restore keeps optax NamedTuple structure AND mesh shardings
+        # (orbax untemplated restore returns alphabetical dicts — unsafe for
+        # MultiSteps state)
+        template = {"params": state.params, "opt_state": state.opt_state}
+        try:
+            payload, meta = ck.load_train_state(resume, template=template)
+            opt_state = payload["opt_state"]
+        except Exception as e:
+            print(f"[resume] template restore failed ({e}); params-only restore, "
+                  f"optimizer state reinitialized", file=sys.stderr)
+            payload, meta = ck.load_train_state(resume)
+            opt_state = state.opt_state
+        restored = pmesh.shard_params(payload["params"], mesh, {k: full_specs[k] for k in payload["params"]})
         done_steps = int(meta.get("step", 0))
         start_epoch = int(meta.get("epoch", 0))
-        print(f"resumed from {resume} at step {done_steps}, epoch {start_epoch}")
+        skip_micro = int(meta.get("micro_in_epoch", 0))
+        state = tstep.TrainState(
+            jax.device_put(jnp.asarray(done_steps * accum, jnp.int32), replicated),
+            restored, opt_state,
+        )
+        print(f"resumed from {resume} at optimizer step {done_steps}, epoch {start_epoch}, "
+              f"skipping {skip_micro} micro-batches")
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[train_args.dtype]
-    train_step = jax.jit(tstep.make_train_step(cfg, tx, dtype=dtype), donate_argnums=(0,))
+    train_step = jax.jit(
+        tstep.make_train_step(cfg, tx, dtype=dtype, dropout_seed=train_args.seed),
+        donate_argnums=(0,),
+    )
     eval_step = jax.jit(tstep.make_eval_step(cfg, dtype=dtype))
 
     logger = MetricLogger(train_args.output_dir, report_to=train_args.report_to,
                           config={"total_steps": total_steps, "per_step_batch": per_step})
 
+    # quality-metric hooks (reference :1285-1331); constructed once, lazily
+    wer_metric = clap_metric = None
+    per_host_step = max(1, per_step // jax.process_count())
+    per_host_eval = max(1, train_args.per_device_eval_batch_size * (n_dev // model_par) // jax.process_count())
+
+    def run_eval(opt_step: int, eparams) -> None:
+        losses = []
+        for ebatch in batches(eval_samples, collator, per_host_eval, shuffle=False, drop_last=False):
+            ebatch = dist.host_local_to_global(ebatch, mesh)
+            losses.append(float(eval_step(eparams, ebatch)["loss"]))
+        emetrics = {"loss": float(np.mean(losses))} if losses else {}
+        # generation pass (reference :1676-1744)
+        if train_args.generation_max_length and eval_samples:
+            import dataclasses
+
+            from parler_tts_tpu.generation import generate as Ggen
+
+            gsize = min(per_host_eval, 4, len(eval_samples))
+            gbatch = next(batches(eval_samples[:gsize], collator, gsize, shuffle=False))
+            gout = Ggen.generate(
+                eparams, cfg,
+                dataclasses.replace(
+                    gen_cfg,
+                    max_length=train_args.generation_max_length,
+                    decoder_start_token_id=cfg.decoder.bos_token_id,
+                    pad_token_id=cfg.decoder.pad_token_id,
+                    bos_token_id=cfg.decoder.bos_token_id,
+                    eos_token_id=cfg.decoder.eos_token_id,
+                ),
+                input_ids=gbatch["input_ids"],
+                attention_mask=gbatch["attention_mask"],
+                prompt_input_ids=gbatch["prompt_input_ids"],
+                prompt_attention_mask=gbatch["prompt_attention_mask"],
+                key=jax.random.PRNGKey(opt_step),
+                vocode="audio_encoder" in eparams,
+                dtype=dtype,
+            )
+            emetrics["gen_code_len_mean"] = float(np.mean(np.asarray(gout.code_lengths)))
+            # WER/CLAP on the generated audio (reference :1701-1707) — needs
+            # vocoded audio + the raw texts the metrics compare against
+            texts = [s.get("prompt_text") for s in eval_samples[:gsize]]
+            descs = [s.get("description_text") for s in eval_samples[:gsize]]
+            if gout.audio.shape[-1] and all(t is not None for t in texts):
+                nonlocal wer_metric, clap_metric
+                if wer_metric is None:
+                    from parler_tts_tpu.training.eval_metrics import ClapMetric, WerMetric
+
+                    wer_metric = WerMetric(model_args.asr_model_name_or_path)
+                    clap_metric = ClapMetric(model_args.clap_model_name_or_path)
+                audio_np = [np.asarray(gout.audio[i, : int(gout.audio_lengths[i])]) for i in range(gsize)]
+                sr = cfg.audio_encoder.sampling_rate
+                emetrics.update(wer_metric(texts, audio_np, sr))
+                if all(d is not None for d in descs):
+                    emetrics.update(clap_metric(descs, audio_np, sr))
+            # audio/prediction logging (reference log_pred, :146-189)
+            logger.log_predictions(
+                step=opt_step,
+                prompts=texts,
+                descriptions=descs,
+                audio=[np.asarray(gout.audio[i, : int(gout.audio_lengths[i])]) for i in range(gsize)]
+                if gout.audio.shape[-1] else [],
+                sampling_rate=cfg.audio_encoder.sampling_rate,
+            )
+        if emetrics:
+            logger.log(emetrics, step=opt_step, prefix="eval")
+
     # ----- loop (reference :1558-1752) -----
+    # max_steps > 0 overrides num_train_epochs (HF Trainer semantics the
+    # reference inherits: epochs = ceil(max_steps / update_steps_per_epoch))
     micro = 0
+    opt_step = done_steps
     t_start = time.time()
     stop = False
-    per_host_step = max(1, per_step // jax.process_count())
-    for epoch in range(start_epoch, math.ceil(train_args.num_train_epochs)):
-        for batch in batches(samples, collator, per_host_step, seed=train_args.seed + epoch):
+    if train_args.max_steps > 0:
+        remaining = max(1, train_args.max_steps - done_steps)
+        first_epoch_steps = max(0, steps_per_epoch - skip_micro // accum)
+        extra_epochs = math.ceil(
+            max(0, remaining - first_epoch_steps) / max(1, steps_per_epoch)
+        )
+        last_epoch = start_epoch + 1 + extra_epochs
+    else:
+        last_epoch = math.ceil(train_args.num_train_epochs)
+    for epoch in range(start_epoch, last_epoch):
+        epoch_iter = batches(samples, collator, per_host_step, seed=train_args.seed + epoch,
+                             group_by_length=train_args.group_by_length)
+        micro_in_epoch = 0
+        if epoch == start_epoch and skip_micro:
+            # replay the epoch shuffle and skip consumed batches (reference
+            # skip_first_batches :1575-1578 — same seed ⇒ same permutation)
+            for _ in range(skip_micro):
+                if next(epoch_iter, None) is None:
+                    break
+                micro_in_epoch += 1
+        for batch in epoch_iter:
             batch = dist.host_local_to_global(batch, mesh)
             state, metrics = train_step(state, frozen, batch)
             micro += 1
-            if micro % max(1, train_args.gradient_accumulation_steps):
+            micro_in_epoch += 1
+            if micro % accum:
                 continue
-            step_i = int(metrics["step"]) + 1
-            if step_i % train_args.logging_steps == 0:
+            opt_step += 1
+            if opt_step % train_args.logging_steps == 0:
                 logger.log(
                     {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"],
-                     "steps_per_sec": step_i / max(1e-9, time.time() - t_start)},
-                    step=step_i,
+                     "steps_per_sec": (opt_step - done_steps) / max(1e-9, time.time() - t_start)},
+                    step=opt_step,
                 )
-            if train_args.save_steps and step_i % train_args.save_steps == 0:
-                path = os.path.join(train_args.output_dir, ck.checkpoint_name(step_i, epoch))
+            if train_args.save_steps and opt_step % train_args.save_steps == 0:
+                path = os.path.join(train_args.output_dir, ck.checkpoint_name(opt_step, epoch))
                 ck.save_train_state(path, params=state.params, opt_state=state.opt_state,
-                                    step=step_i, epoch=epoch)
+                                    step=opt_step, epoch=epoch,
+                                    extra={"micro_in_epoch": micro_in_epoch})
                 ck.rotate_checkpoints(train_args.output_dir, train_args.save_total_limit)
-            if train_args.do_eval and train_args.eval_steps and step_i % train_args.eval_steps == 0:
-                losses = []
-                eparams = tstep.merge_params(state.params, frozen)
-                for ebatch in batches(samples[: 4 * per_step], collator, per_step, shuffle=False):
-                    ebatch = dist.host_local_to_global(ebatch, mesh)
-                    losses.append(float(eval_step(eparams, ebatch)["loss"]))
-                emetrics = {"loss": float(np.mean(losses))}
-                # generation pass (reference :1676-1744): sample a batch,
-                # report generated-length stats (+ WER/CLAP when available)
-                if train_args.generation_max_length:
-                    from parler_tts_tpu.generation import generate as Ggen
-
-                    gbatch = next(batches(samples[:per_step], collator, min(per_step, 4), shuffle=False))
-                    gout = Ggen.generate(
-                        eparams, cfg,
-                        __import__("dataclasses").replace(
-                            gen_cfg,
-                            max_length=train_args.generation_max_length,
-                            decoder_start_token_id=cfg.decoder.bos_token_id,
-                            pad_token_id=cfg.decoder.pad_token_id,
-                            bos_token_id=cfg.decoder.bos_token_id,
-                            eos_token_id=cfg.decoder.eos_token_id,
-                        ),
-                        input_ids=gbatch["input_ids"],
-                        attention_mask=gbatch["attention_mask"],
-                        prompt_input_ids=gbatch["prompt_input_ids"],
-                        prompt_attention_mask=gbatch["prompt_attention_mask"],
-                        key=jax.random.PRNGKey(step_i),
-                        vocode="audio_encoder" in eparams,
-                        dtype=dtype,
-                    )
-                    emetrics["gen_code_len_mean"] = float(np.mean(np.asarray(gout.code_lengths)))
-                logger.log(emetrics, step=step_i, prefix="eval")
-            if train_args.max_steps > 0 and step_i >= train_args.max_steps:
+            if train_args.do_eval and train_args.eval_steps and opt_step % train_args.eval_steps == 0:
+                run_eval(opt_step, tstep.merge_params(state.params, frozen))
+            if train_args.max_steps > 0 and opt_step >= train_args.max_steps:
                 stop = True
                 break
         if stop:
@@ -303,10 +491,9 @@ def main(argv: list[str] | None = None) -> dict:
             print(f"pushed final artifact to {train_args.hub_model_id}")
         except Exception as e:
             print(f"hub push skipped: {e}", file=sys.stderr)
-    final_step = int(state.step)
-    logger.log({"final_step": final_step, "wall_s": time.time() - t_start}, step=final_step)
+    logger.log({"final_step": opt_step, "wall_s": time.time() - t_start}, step=opt_step)
     logger.close()
-    return {"steps": final_step, "output_dir": train_args.output_dir}
+    return {"steps": opt_step, "output_dir": train_args.output_dir}
 
 
 if __name__ == "__main__":

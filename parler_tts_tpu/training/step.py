@@ -47,14 +47,32 @@ def create_state(params: Any, tx: optax.GradientTransformation) -> tuple[TrainSt
     return TrainState(jnp.zeros((), jnp.int32), trainable, tx.init(trainable)), frozen
 
 
-def make_train_step(cfg: ParlerTTSConfig, tx: optax.GradientTransformation, *, dtype=jnp.bfloat16):
+def has_dropout(cfg: ParlerTTSConfig) -> bool:
+    d = cfg.decoder
+    return any(r > 0.0 for r in (d.dropout, d.attention_dropout, d.activation_dropout, d.layerdrop))
+
+
+def make_train_step(
+    cfg: ParlerTTSConfig,
+    tx: optax.GradientTransformation,
+    *,
+    dtype=jnp.bfloat16,
+    dropout_seed: int | None = None,
+):
     """Returns ``step(state, frozen, batch) -> (state, metrics)``.
 
     batch keys: input_ids, attention_mask, prompt_input_ids,
     prompt_attention_mask, labels (B, K, T), optional decoder_attention_mask.
-    """
 
-    def loss_fn(trainable, frozen, batch):
+    ``dropout_seed`` (when the config has any nonzero dropout/layerdrop rate)
+    threads a per-step PRNG key — ``fold_in(PRNGKey(seed), state.step)`` — so
+    dropout masks are deterministic per (seed, step) and differ across steps,
+    like the reference's global-seeded torch dropout (reference trains the
+    Mini recipe with ``dropout=0.1``).
+    """
+    use_dropout = dropout_seed is not None and has_dropout(cfg)
+
+    def loss_fn(trainable, frozen, batch, train_key):
         params = merge_params(trainable, frozen)
         loss, _ = parler.train_forward(
             params,
@@ -65,12 +83,18 @@ def make_train_step(cfg: ParlerTTSConfig, tx: optax.GradientTransformation, *, d
             prompt_attention_mask=batch["prompt_attention_mask"],
             labels=batch["labels"],
             decoder_attention_mask=batch.get("decoder_attention_mask"),
+            train_key=train_key,
             dtype=dtype,
         )
         return loss
 
     def step(state: TrainState, frozen, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen, batch)
+        train_key = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            if use_dropout
+            else None
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen, batch, train_key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {

@@ -54,3 +54,32 @@ def test_model_artifact_roundtrip(tmp_path):
     a = np.asarray(params["decoder"]["lm_heads"]["kernel"])
     b = np.asarray(params2["decoder"]["lm_heads"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_multisteps_opt_state_template_restore(tmp_path):
+    """Template restore preserves optax MultiSteps NamedTuple field order —
+    untemplated orbax restore returns alphabetical dicts, which silently
+    scrambles (mini_step, gradient_step, inner_opt_state, acc_grads) when
+    rebuilt by flatten/unflatten (round-1 advisor finding)."""
+    import jax.numpy as jnp
+
+    cfg = dummy_config()
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
+    tx = optim.make_optimizer(1e-4, warmup_steps=5, grad_accum_steps=4)
+    state, frozen = tstep.create_state(params, tx)
+    # advance a couple of micro steps so mini_step/acc_grads are nontrivial
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    opt_state = state.opt_state
+    for _ in range(2):
+        _, opt_state = tx.update(grads, opt_state, state.params)
+    assert int(opt_state.mini_step) == 2
+
+    path = str(tmp_path / ck.checkpoint_name(1, 0))
+    ck.save_train_state(path, params=state.params, opt_state=opt_state, step=1, epoch=0)
+    template = {"params": state.params, "opt_state": state.opt_state}
+    payload, _ = ck.load_train_state(path, template=template)
+    restored = payload["opt_state"]
+    assert type(restored) is type(opt_state)
+    assert int(restored.mini_step) == 2 and int(restored.gradient_step) == 0
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

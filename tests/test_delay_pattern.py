@@ -94,10 +94,11 @@ def test_undelay_matches_reference_generate_shape():
     np.testing.assert_array_equal(mine, ref_ids)
 
 
-def test_labels_and_decoder_inputs():
-    """Label construction matches the training script semantics
-    (run_parler_tts_training.py:1164-1213): BOS prepend, per-codebook delay,
-    single EOS per codebook, -100 elsewhere."""
+def test_labels_match_reference_postprocess():
+    """Label construction is bit-exact vs the reference training script's
+    ``postprocess_dataset`` (run_parler_tts_training.py:1179-1205): BOS
+    prepend, delay-pattern build, fill -1 with EOS, drop the all-BOS first
+    timestep, then -100 batch padding (collator, :551-555)."""
     rng = np.random.default_rng(3)
     bsz, K, t_codes, max_len = 2, 4, 6, 14
     codes = rng.integers(0, 1024, size=(bsz, K, t_codes))
@@ -107,18 +108,20 @@ def test_labels_and_decoder_inputs():
             codes, lengths, bos_token_id=BOS, eos_token_id=EOS, max_length=max_len
         )
     )
-    # emulate reference: prepend bos, build mask with max_len, apply over pads,
-    # replace remaining -1/BOS with -100 (loss-mask view)
-    for b in range(bsz):
-        L = lengths[b]
-        for k in range(K):
-            row = labels[b, k]
-            # BOS region is input-only → ignore
-            assert (row[: 1 + k] == -100).all()
-            np.testing.assert_array_equal(row[1 + k : 1 + k + L], codes[b, k, :L])
-            assert row[1 + k + L] == EOS
-            assert (row[1 + k + L + 1 :] == -100).all()
 
+    for b in range(bsz):
+        L = int(lengths[b])
+        # reference postprocess_dataset on this sample's true-length codes
+        sample = torch.tensor(codes[b : b + 1, :, :L])
+        with_bos = torch.cat([torch.full((1, K, 1), BOS), sample], dim=-1)
+        ref_lab, mask = ref.build_delay_pattern_mask(
+            with_bos.reshape(K, -1), BOS, EOS, with_bos.shape[-1] + K, K
+        )
+        ref_rows = torch.where(mask == -1, torch.tensor(EOS), mask)[:, 1:].numpy()
+        np.testing.assert_array_equal(labels[b, :, : L + K], ref_rows)
+        assert (labels[b, :, L + K :] == -100).all()  # collator padding
+
+    # shift_tokens_right parity (modeling:2023-2026): BOS start, -100 -> PAD
     dec_in = np.asarray(
         labels_to_decoder_inputs(labels, bos_token_id=BOS, pad_token_id=PAD)
     )
@@ -126,6 +129,32 @@ def test_labels_and_decoder_inputs():
     np.testing.assert_array_equal(
         dec_in[..., 1:], np.where(labels[..., :-1] == -100, PAD, labels[..., :-1])
     )
+
+
+def test_train_inputs_match_inference_prefix():
+    """Decoder inputs built from labels must equal the token sequence the
+    delay pattern forces at inference (generate's BOS region) — the silent
+    train/inference mismatch flagged in round 1: codebook k must see BOS,
+    not PAD, at positions 1..k."""
+    rng = np.random.default_rng(5)
+    bsz, K, L = 1, 9, 10
+    codes = rng.integers(0, 1024, size=(bsz, K, L))
+    labels = np.asarray(
+        build_delay_pattern_labels(
+            codes, np.array([L]), bos_token_id=BOS, eos_token_id=EOS, max_length=L + K
+        )
+    )
+    dec_in = np.asarray(labels_to_decoder_inputs(labels, bos_token_id=BOS, pad_token_id=PAD))
+    # inference: pattern forces BOS at t <= k for codebook k
+    start = np.full((bsz, K, 1), BOS)
+    _, pat, _ = build_delay_pattern(start, bos_token_id=BOS, pad_token_id=PAD, max_length=L + K)
+    pat = np.asarray(pat)
+    for k in range(K):
+        np.testing.assert_array_equal(dec_in[0, k, : k + 1], np.full(k + 1, BOS))
+        np.testing.assert_array_equal(dec_in[0, k, k + 1 : k + 1 + L], codes[0, k])
+        # and the BOS prefix agrees with what apply_delay_pattern would force
+        forced = pat[0, k, : k + 1]
+        np.testing.assert_array_equal(dec_in[0, k, : k + 1], forced)
 
 
 def test_jit_static_shapes():

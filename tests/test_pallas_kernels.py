@@ -28,11 +28,11 @@ def ref_attn(q, k, v, kv_mask, scale, causal):
 @pytest.mark.parametrize("length", [5, 37, 256, 301, 512])
 def test_decode_attention_matches_reference(length):
     rng = np.random.default_rng(0)
-    BH, T, D = 8, 512, 64
-    q = rng.standard_normal((BH, 1, D)).astype(np.float32)
-    k = rng.standard_normal((BH, T, D)).astype(np.float32)
-    v = rng.standard_normal((BH, T, D)).astype(np.float32)
-    start = np.array([0, 3, 0, 300, 0, 0, 1, 2], np.int32)
+    B, H, T, D = 4, 2, 512, 64
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    start = np.array([0, 3, 300, 2], np.int32)
     ref = decode_attention_reference(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length), jnp.asarray(start), scale=0.125
     )
@@ -42,7 +42,7 @@ def test_decode_attention_matches_reference(length):
     )
     d = np.abs(np.asarray(out) - np.asarray(ref))
     if length <= 300:
-        d[3] = 0  # row with start=300 is fully masked -> degenerate
+        d[2] = 0  # row with start=300 is fully masked -> degenerate
     assert d.max() < 1e-5
 
 
@@ -50,13 +50,13 @@ def test_decode_attention_matches_reference(length):
 def test_decode_attention_with_self_token(length):
     """Past + explicit current-token column (the production decode path)."""
     rng = np.random.default_rng(3)
-    BH, T, D = 8, 512, 64
-    q = rng.standard_normal((BH, 1, D)).astype(np.float32)
-    k = rng.standard_normal((BH, T, D)).astype(np.float32)
-    v = rng.standard_normal((BH, T, D)).astype(np.float32)
-    kn = rng.standard_normal((BH, 1, D)).astype(np.float32)
-    vn = rng.standard_normal((BH, 1, D)).astype(np.float32)
-    start = np.array([0, 2, 0, 0, 1, 0, 0, 3], np.int32)
+    B, H, T, D = 4, 2, 512, 64
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    kn = rng.standard_normal((B, H, D)).astype(np.float32)
+    vn = rng.standard_normal((B, H, D)).astype(np.float32)
+    start = np.array([0, 2, 1, 3], np.int32)
     ref = decode_attention_reference(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
         jnp.asarray(start), k_new=jnp.asarray(kn), v_new=jnp.asarray(vn), scale=0.125,

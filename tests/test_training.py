@@ -49,6 +49,75 @@ def test_collator_left_pads_prompts():
     assert (batch["labels"][1] == 2).all()
 
 
+def test_grad_accum_counts_optimizer_steps(tmp_path):
+    """save/eval/logging/max_steps compare against OPTIMIZER steps, not
+    micro-batches (reference semantics, run_parler_tts_training.py:1580-1591):
+    with accumulation 2, max_steps=2 must consume 4 micro-batches and the
+    checkpoint dirs must be named by optimizer step."""
+    import json
+    import os
+
+    from parler_tts_tpu.training import run_training
+
+    out = str(tmp_path / "accum")
+    res = run_training.main([
+        "--model_name_or_path", "dummy",
+        "--train_dataset_name", "synthetic://64",
+        "--output_dir", out,
+        "--per_device_train_batch_size", "1",
+        "--gradient_accumulation_steps", "2",
+        "--max_steps", "2",
+        "--save_steps", "1",
+        "--logging_steps", "1",
+        "--num_train_epochs", "4",
+    ])
+    assert res["steps"] == 2
+    names = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
+    assert names == ["checkpoint-1-epoch-0", "checkpoint-2-epoch-0"]
+    # the cursor records micro-batches: 2 micro per optimizer step
+    with open(os.path.join(out, "checkpoint-2-epoch-0", "trainer_state.json")) as f:
+        meta = json.load(f)
+    assert meta["step"] == 2 and meta["micro_in_epoch"] == 4
+
+
+def test_intra_epoch_resume_no_batch_repeat(tmp_path, monkeypatch):
+    """Kill mid-epoch, resume, and prove via batch fingerprints that no
+    micro-batch is repeated or skipped (reference skip_first_batches,
+    :1575-1578)."""
+    import hashlib
+
+    from parler_tts_tpu.parallel import distributed as dist
+    from parler_tts_tpu.training import run_training
+
+    seen: list[str] = []
+    orig = dist.host_local_to_global
+
+    def spy(batch, mesh):
+        seen.append(hashlib.md5(batch["labels"].tobytes()).hexdigest())
+        return orig(batch, mesh)
+
+    monkeypatch.setattr(dist, "host_local_to_global", spy)
+
+    out = str(tmp_path / "cursor")
+    common = [
+        "--model_name_or_path", "dummy",
+        "--train_dataset_name", "synthetic://64",
+        "--output_dir", out,
+        "--per_device_train_batch_size", "1",
+        "--save_steps", "1",
+        "--num_train_epochs", "1",
+    ]
+    # 64 samples / batch 8 = 8 micro-batches in the epoch; stop after 3
+    run_training.main(common + ["--max_steps", "3"])
+    first_run = list(seen)
+    seen.clear()
+    run_training.main(common + ["--max_steps", "8"])
+    # resumed run must continue with exactly the unseen batches of the SAME
+    # epoch permutation
+    full_epoch_order = first_run + seen
+    assert len(set(full_epoch_order)) == len(full_epoch_order) == 8
+
+
 def test_train_cli_and_resume(tmp_path):
     from parler_tts_tpu.training import run_training
 
