@@ -210,6 +210,12 @@ class GenerationConfig:
     pad_token_id: int = 1024
     bos_token_id: int = 1025
     eos_token_id: int = 1024
+    # TPU-side runtime knobs (no reference equivalent — the torch stack has
+    # neither):  "int8" KV cache halves decode HBM traffic + cache memory;
+    # int8 weights halve the weight-streaming term that dominates small-batch
+    # latency.  Both use exact scale folding (ops/quantization.py).
+    kv_cache_dtype: str | None = None  # None = compute dtype, or "int8"
+    int8_weights: bool = False
 
     to_dict = _asdict
     from_dict = classmethod(_fromdict)

@@ -125,7 +125,10 @@ def generate_tokens(
     # --- prefill: prompt + start frame ---
     rows = 2 * b if use_cfg else b
     p_len = prompt_hidden.shape[1]
-    cache = decoder_mod.init_cache(dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype)
+    cache = decoder_mod.init_cache(
+        dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype,
+        kv_dtype=gen.kv_cache_dtype,
+    )
     # one static fused mask covering prompt padding + all decode positions;
     # causal masking hides not-yet-written positions, so it is valid at every
     # step (prompt left-padding stays masked throughout — reference :843-867)
@@ -159,8 +162,11 @@ def generate_tokens(
 
     eos = gen.eos_token_id
     pad = gen.pad_token_id
-    # fused-QKV view for the decode loop (concat is loop-invariant: once/call)
-    decode_params = decoder_mod.prepare_decode_params(params["decoder"])
+    # fused-QKV (+ optional int8) view for the decode loop — loop-invariant,
+    # so the concat/quantization happens once per generation
+    decode_params = decoder_mod.prepare_decode_params(
+        params["decoder"], int8=gen.int8_weights
+    )
 
     def cond(s: DecodeState):
         return (s.t < max_length) & ~jnp.all(s.finished)

@@ -94,7 +94,10 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         tokens = jnp.where(pattern == -1, gen.pad_token_id, pattern)
         rows = 2 * b if use_cfg else b
         p_len = prompt_hidden.shape[1]
-        cache = decoder_mod.init_cache(dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype)
+        cache = decoder_mod.init_cache(
+            dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype,
+            kv_dtype=gen.kv_cache_dtype,
+        )
         fused_mask = jnp.concatenate(
             [p_mask.astype(jnp.int32), jnp.ones((rows, max_length), jnp.int32)], axis=1
         )
@@ -113,7 +116,9 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
 
     @jax.jit
     def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask):
-        decode_params = decoder_mod.prepare_decode_params(params["decoder"])
+        decode_params = decoder_mod.prepare_decode_params(
+            params["decoder"], int8=gen.int8_weights
+        )
 
         def cond(s):
             return (s.t < end) & ~jnp.all(s.finished)

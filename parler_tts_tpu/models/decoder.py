@@ -70,54 +70,106 @@ class KVCache(NamedTuple):
     """Static-shape decode cache.
 
     self_k/self_v: (L, B, H, T_max, D) — self-attention keys/values at
-    absolute fused positions (prompt prefix + codec frames).
+    absolute fused positions (prompt prefix + codec frames).  Storage dtype
+    is either the compute dtype or **int8** with per-position symmetric
+    scales (``kv_dtype="int8"``): the scale is constant over D so it folds
+    exactly out of both attention dots (see ``ops/quantization.py``) —
+    halving the decode loop's dominant HBM term (cache reads) and the cache's
+    footprint (the 16 GB-chip envelope gate).
+    self_k_scale/self_v_scale: (L, B, H, T_max) f32, or None when unquantized.
     cross_k/cross_v: (L, B, H, S, D) — description keys/values, filled at
-    prefill, read-only afterwards.
+    prefill, read-only afterwards (small: kept in compute dtype).
     index: scalar int32 — number of fused positions already written.
     """
 
     self_k: jnp.ndarray
     self_v: jnp.ndarray
+    self_k_scale: jnp.ndarray | None
+    self_v_scale: jnp.ndarray | None
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
     index: jnp.ndarray
 
 
 def init_cache(
-    cfg: DecoderConfig, batch: int, max_len: int, enc_len: int, dtype=jnp.float32
+    cfg: DecoderConfig,
+    batch: int,
+    max_len: int,
+    enc_len: int,
+    dtype=jnp.float32,
+    kv_dtype: str | None = None,
 ) -> KVCache:
+    """``kv_dtype``: None stores K/V in ``dtype``; ``"int8"`` stores int8 +
+    per-position scales (~2x less decode HBM traffic and cache memory)."""
     l, h, d = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
+    quant = kv_dtype == "int8"
+    store = jnp.int8 if quant else dtype
     return KVCache(
-        self_k=jnp.zeros((l, batch, h, max_len, d), dtype),
-        self_v=jnp.zeros((l, batch, h, max_len, d), dtype),
+        self_k=jnp.zeros((l, batch, h, max_len, d), store),
+        self_v=jnp.zeros((l, batch, h, max_len, d), store),
+        self_k_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
+        self_v_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
         cross_k=jnp.zeros((l, batch, h, enc_len, d), dtype),
         cross_v=jnp.zeros((l, batch, h, enc_len, d), dtype),
         index=jnp.zeros((), jnp.int32),
     )
 
 
-def prepare_decode_params(params: Params) -> Params:
+def _store_kv(values: jnp.ndarray, cache_buf: jnp.ndarray):
+    """Convert freshly-computed K/V (L, B, H, t, D) to the cache's storage
+    format: (stored values, scales-or-None)."""
+    if cache_buf.dtype == jnp.int8:
+        from parler_tts_tpu.ops.quantization import quantize_kv
+
+        return quantize_kv(values)
+    return values.astype(cache_buf.dtype), None
+
+
+def prepare_decode_params(params: Params, int8: bool = False) -> Params:
     """Decode-optimized parameter view: concatenates the per-layer q/k/v
     kernels into one (L, H, 3H) fused projection.  Call once (inside the
     jitted generate, before the decode loop) — loop-invariant, so the concat
     happens once per generation, and the step does one matmul instead of
-    three (better weight-streaming contiguity)."""
+    three (better weight-streaming contiguity).
+
+    ``int8=True`` additionally quantizes every decode-hot matmul weight
+    (fused qkv, attention out, cross q/out, FFN, LM heads) to int8 with
+    per-output-channel scales (``ops/quantization.py``) — also loop-invariant,
+    so quantization costs one pass and every decode step streams half the
+    weight bytes.  Embedding tables stay in the compute dtype (gather traffic
+    is negligible, and this stack's fused gather->convert miscompiles)."""
     sa = params["layers"]["self_attn"]
-    fused = {
-        **params,
-        "layers": {
-            **params["layers"],
-            "self_attn": {
-                **sa,
-                "qkv": {
-                    "kernel": jnp.concatenate(
-                        [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1
-                    )
-                },
-            },
-        },
+    qkv = {
+        "kernel": jnp.concatenate(
+            [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1
+        )
     }
-    return fused
+    layers = {**params["layers"], "self_attn": {**sa, "qkv": qkv}}
+    fused = {**params, "layers": layers}
+    if not int8:
+        return fused
+
+    from parler_tts_tpu.ops.quantization import quantize_dense
+
+    def q(p):
+        return quantize_dense(p["kernel"])
+
+    layers = {
+        **layers,
+        "self_attn": {**layers["self_attn"], "qkv": q(qkv), "o": q(sa["o"])},
+        "cross_attn": {
+            **layers["cross_attn"],
+            "q": q(layers["cross_attn"]["q"]),
+            "o": q(layers["cross_attn"]["o"]),
+        },
+        "fc1": q(layers["fc1"]),
+        "fc2": q(layers["fc2"]),
+    }
+    return {
+        **fused,
+        "layers": layers,
+        "lm_heads": quantize_dense(params["lm_heads"]["kernel"]),
+    }
 
 
 def embed_codebooks(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
@@ -185,6 +237,8 @@ def _self_attention_decode(
     past_v: jnp.ndarray,
     index: jnp.ndarray,
     kv_pad_mask: jnp.ndarray | None,
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
 ):
     """Single-token cached decode.  The past cache is READ-ONLY (positions
     ``< index``); the current token's K/V contribution is merged as an
@@ -222,16 +276,24 @@ def _self_attention_decode(
             start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
         out = decode_attention(
             q[:, :, 0],
-            past_k.astype(dtype),
-            past_v.astype(dtype),
+            past_k if k_scale is not None else past_k.astype(dtype),
+            past_v if v_scale is not None else past_v.astype(dtype),
             index,
             start,
             k_new=k_new[:, :, 0].astype(dtype),
             v_new=v_new[:, :, 0].astype(dtype),
+            k_scale=k_scale,
+            v_scale=v_scale,
             scale=1.0,  # q pre-scaled
         )[:, :, None, :]
     else:
+        # int8 cache: the per-position scale is constant over D, so it folds
+        # out of both dots — scores scale after the q.k dot, value scales
+        # into the probs (ops/quantization.py) — and the int8->bf16 convert
+        # fuses into the dot operand load (no dequantized buffer in HBM)
         s_past = jnp.einsum("bhqd,bhkd->bhqk", q, past_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+        if k_scale is not None:
+            s_past = s_past * k_scale[:, :, None, :]
         key_ok = jnp.arange(t_max)[None, None, None, :] < index
         if kv_pad_mask is not None:
             key_ok = key_ok & kv_pad_mask[:, None, None, :].astype(bool)
@@ -239,8 +301,11 @@ def _self_attention_decode(
         s_self = jnp.sum(q * k_new.astype(dtype), axis=-1, keepdims=True).astype(jnp.float32)  # (B,H,1,1)
         s_all = jnp.concatenate([s_past, s_self], axis=-1)
         probs = jax.nn.softmax(s_all, axis=-1).astype(dtype)
+        probs_past = probs[..., :t_max]
+        if v_scale is not None:
+            probs_past = probs_past * v_scale[:, :, None, :].astype(dtype)
         out = (
-            jnp.einsum("bhqk,bhkd->bhqd", probs[..., :t_max], past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+            jnp.einsum("bhqk,bhkd->bhqd", probs_past, past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
             + probs[..., t_max:] * v_new.astype(dtype)
         )
     return dense(p["o"], merge_heads(out)), (k_new, v_new)
@@ -324,12 +389,14 @@ def _layer_decode(
     enc_mask,
     index,
     kv_pad_mask=None,
+    k_scale=None,
+    v_scale=None,
 ):
     """Single-token cached layer: read-only past, returns new KV slice."""
     act = ACTIVATIONS[cfg.activation_function]
     h = layer_norm(lp["ln_self"], x)
     attn_out, self_kv = _self_attention_decode(
-        lp["self_attn"], cfg, h, past_k, past_v, index, kv_pad_mask
+        lp["self_attn"], cfg, h, past_k, past_v, index, kv_pad_mask, k_scale, v_scale
     )
     x = x + attn_out
 
@@ -460,27 +527,43 @@ def forward(
             return x, (self_kv[0], self_kv[1], cross_kv[0], cross_kv[1])
 
         x, (ks, vs, cks, cvs) = lax.scan(scan_body, x, layers)
+        ks, k_scales = _store_kv(ks, cache.self_k)
+        vs, v_scales = _store_kv(vs, cache.self_v)
         new_cache = KVCache(
-            lax.dynamic_update_slice(cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, 0, 0, 0)),
-            lax.dynamic_update_slice(cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, 0, 0, 0)),
+            lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, 0, 0)),
+            lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, 0, 0)),
+            lax.dynamic_update_slice(cache.self_k_scale, k_scales, (0, 0, 0, 0))
+            if k_scales is not None else None,
+            lax.dynamic_update_slice(cache.self_v_scale, v_scales, (0, 0, 0, 0))
+            if v_scales is not None else None,
             cks.astype(cache.cross_k.dtype),
             cvs.astype(cache.cross_v.dtype),
             past_len + t_fused,
         )
     else:
         def scan_body(x, s):
-            lp, sk, sv, ck, cv = s
+            lp, sk, sv, ksc, vsc, ck, cv = s
             x, self_kv = _layer_decode(
-                lp, cfg, x, sk, sv, ck, cv, enc_mask, past_len, kv_pad_mask
+                lp, cfg, x, sk, sv, ck, cv, enc_mask, past_len, kv_pad_mask,
+                k_scale=ksc, v_scale=vsc,
             )
             return x, (self_kv[0], self_kv[1])
 
         x, (ks, vs) = lax.scan(
-            scan_body, x, (layers, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+            scan_body,
+            x,
+            (layers, cache.self_k, cache.self_v, cache.self_k_scale,
+             cache.self_v_scale, cache.cross_k, cache.cross_v),
         )
+        ks, k_scales = _store_kv(ks, cache.self_k)
+        vs, v_scales = _store_kv(vs, cache.self_v)
         new_cache = KVCache(
-            lax.dynamic_update_slice(cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, 0, past_len, 0)),
-            lax.dynamic_update_slice(cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, 0, past_len, 0)),
+            lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, past_len, 0)),
+            lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, past_len, 0)),
+            lax.dynamic_update_slice(cache.self_k_scale, k_scales, (0, 0, 0, past_len))
+            if k_scales is not None else None,
+            lax.dynamic_update_slice(cache.self_v_scale, v_scales, (0, 0, 0, past_len))
+            if v_scales is not None else None,
             cache.cross_k,
             cache.cross_v,
             past_len + 1,
@@ -497,7 +580,15 @@ def logits(params: Params, hidden: jnp.ndarray, num_labels: int | None = None) -
     ``:1148-1149``)."""
     if num_labels is not None:
         hidden = hidden[:, -num_labels:]
-    kern = params["lm_heads"]["kernel"].astype(hidden.dtype)  # (K, H, V)
+    heads = params["lm_heads"]
+    if "kernel_q" in heads:
+        # int8 heads: per-(codebook, vocab) scale folds out of the H dot
+        out = jnp.einsum(
+            "bth,khv->bktv", hidden, heads["kernel_q"].astype(hidden.dtype),
+            precision=_precision(hidden),
+        )
+        return out * heads["scale"].astype(hidden.dtype)[None, :, None, :]
+    kern = heads["kernel"].astype(hidden.dtype)  # (K, H, V)
     return jnp.einsum("bth,khv->bktv", hidden, kern, precision=_precision(hidden))
 
 

@@ -61,13 +61,27 @@ def _precision(x: jnp.ndarray):
 
 
 def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ kernel (+ bias).  kernel: (in, out)."""
-    y = jnp.dot(
-        x,
-        params["kernel"].astype(x.dtype),
-        preferred_element_type=x.dtype,
-        precision=_precision(x),
-    )
+    """y = x @ kernel (+ bias).  kernel: (in, out).
+
+    Transparently accepts int8 weight-only kernels (``kernel_q`` + per-output
+    ``scale``, see ``ops/quantization.quantize_dense``): the scale is constant
+    over the contraction dim so ``(x @ w_int8) * scale`` is exact, and the
+    int8->compute convert fuses into the matmul's operand load — only int8
+    bytes stream from HBM (the dominant cost of small-batch decode)."""
+    if "kernel_q" in params:
+        y = jnp.dot(
+            x,
+            params["kernel_q"].astype(x.dtype),
+            preferred_element_type=x.dtype,
+            precision=_precision(x),
+        ) * params["scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(
+            x,
+            params["kernel"].astype(x.dtype),
+            preferred_element_type=x.dtype,
+            precision=_precision(x),
+        )
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y

@@ -40,9 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, block_k: int, scale: float, t_total: int,
-            include_self: bool):
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, ks_ref,
+            vs_ref, o_ref, acc_ref, m_ref, l_ref, *, block_k: int, scale: float,
+            t_total: int, include_self: bool, quantized: bool):
     b, j = pl.program_id(0), pl.program_id(1)
     limit = pl.cdiv(len_ref[0], block_k)  # valid kv blocks
 
@@ -59,6 +59,10 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref,
         # head-batched q·K^T as a VPU multiply-reduce (Mosaic's dot_general
         # does not lower batch dimensions): (H, 1, D) * (H, bk, D) -> (H, bk)
         s = jnp.sum(q[:, None, :] * k, axis=-1) * scale
+        if quantized:
+            # int8 cache: per-position scale is constant over D, so it folds
+            # out of the dot — dequantize the *scores*, not the K tile
+            s = s * ks_ref[0]  # (H, bk)
         kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         valid = (kv_pos < len_ref[0]) & (kv_pos >= start_ref[b])  # (1, bk)
         s = jnp.where(valid, s, NEG_INF)  # broadcast over H
@@ -73,8 +77,10 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref,
         row_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
         v = jnp.where(row_pos < t_total, v_ref[0].astype(jnp.float32), 0.0)  # (H, bk, D)
         # head-batched p·V as a VPU multiply-reduce: (H, bk, 1) * (H, bk, D)
-        # summed over bk -> (H, D)
-        pv = jnp.sum(p[:, :, None] * v, axis=1)
+        # summed over bk -> (H, D).  For int8 V the per-position scale folds
+        # into p for the PV product only (NOT into l — l is the softmax mass)
+        pv_p = p * vs_ref[0] if quantized else p
+        pv = jnp.sum(pv_p[:, :, None] * v, axis=1)
         acc_ref[...] = acc_ref[...] * corr + pv
         m_ref[...] = m_new
 
@@ -108,6 +114,8 @@ def decode_attention(
     *,
     k_new: jnp.ndarray | None = None,
     v_new: jnp.ndarray | None = None,
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
     scale: float = 1.0,
     block_k: int = 256,
     interpret: bool = False,
@@ -115,9 +123,12 @@ def decode_attention(
     """q: (B, H, D) single query per (row, head); k/v: (B, H, T, D) read-only
     PAST buffers; length: scalar int32 count of valid past positions; start:
     (B,) int32 first valid position per row (contiguous left padding);
-    k_new/v_new: (B, H, D) the current token's K/V, merged as a final
-    attention column.  Returns (B, H, D).  Only ``ceil(length/block_k)``
-    past KV blocks are read from HBM."""
+    k_new/v_new: (B, H, D) the current token's K/V (compute dtype), merged as
+    a final attention column.  ``k_scale``/``v_scale`` (B, H, T) f32 declare
+    k/v as int8 with per-position symmetric scales — the kernel dequantizes
+    scores/probs (never the tiles), so int8 halves the HBM bytes per block.
+    Returns (B, H, D).  Only ``ceil(length/block_k)`` past KV blocks are read
+    from HBM."""
     b, h, t, d = k.shape
     nk = pl.cdiv(t, block_k)
     if start is None:
@@ -129,11 +140,26 @@ def decode_attention(
         k_new = jnp.zeros((b, h, d), q.dtype)
     if v_new is None:
         v_new = jnp.zeros((b, h, d), q.dtype)
+    quantized = k_scale is not None
+    if quantized:
+        k_scale = k_scale.astype(jnp.float32)
+        v_scale = v_scale.astype(jnp.float32)
+    else:
+        # 1-element placeholders (constant index_map -> DMA'd once, never read)
+        k_scale = jnp.zeros((1, 1, block_k), jnp.float32)
+        v_scale = jnp.zeros((1, 1, block_k), jnp.float32)
 
     def clamp_map(b_i, j, lens, starts):
         limit = (lens[0] + block_k - 1) // block_k
         return (b_i, 0, jnp.minimum(j, jnp.maximum(limit - 1, 0)), 0)
 
+    def scale_map(b_i, j, lens, starts):
+        if not quantized:
+            return (0, 0, 0)
+        limit = (lens[0] + block_k - 1) // block_k
+        return (b_i, 0, jnp.minimum(j, jnp.maximum(limit - 1, 0)))
+
+    sh, sbk = (h, block_k) if quantized else (1, block_k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nk),
@@ -143,6 +169,8 @@ def decode_attention(
             pl.BlockSpec((1, h, block_k, d), clamp_map),
             pl.BlockSpec((1, h, d), lambda b_i, j, lens, starts: (b_i, 0, 0)),
             pl.BlockSpec((1, h, d), lambda b_i, j, lens, starts: (b_i, 0, 0)),
+            pl.BlockSpec((1, sh, sbk), scale_map),
+            pl.BlockSpec((1, sh, sbk), scale_map),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda b_i, j, lens, starts: (b_i, 0, 0)),
         scratch_shapes=[
@@ -153,17 +181,22 @@ def decode_attention(
     )
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, scale=scale, t_total=t,
-                          include_self=include_self),
+                          include_self=include_self, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(length, start, q, k, v, k_new, v_new)
+    )(length, start, q, k, v, k_new, v_new, k_scale, v_scale)
 
 
-def decode_attention_reference(q, k, v, length, start=None, *, k_new=None, v_new=None, scale=1.0):
+def decode_attention_reference(q, k, v, length, start=None, *, k_new=None,
+                               v_new=None, k_scale=None, v_scale=None, scale=1.0):
     """XLA reference implementation (same semantics) for parity tests.
-    Shapes as :func:`decode_attention`: q (B, H, D), k/v (B, H, T, D)."""
+    Shapes as :func:`decode_attention`: q (B, H, D), k/v (B, H, T, D),
+    optional int8 k/v with (B, H, T) scales."""
     b, h, t, d = k.shape
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale[..., None].astype(jnp.float32)
+        v = v.astype(jnp.float32) * v_scale[..., None].astype(jnp.float32)
     pos = jnp.arange(t)[None, :]
     pos_ok = pos < length
     if start is not None:
@@ -173,6 +206,6 @@ def decode_attention_reference(q, k, v, length, start=None, *, k_new=None, v_new
     if k_new is not None:
         s_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1, keepdims=True) * scale
         s = jnp.concatenate([s, s_self], axis=-1)
-        v = jnp.concatenate([v, v_new[:, :, None, :]], axis=2)
+        v = jnp.concatenate([v.astype(jnp.float32), v_new[:, :, None, :].astype(jnp.float32)], axis=2)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhk,bhkd->bhd", p, v.astype(jnp.float32)).astype(q.dtype)
