@@ -1,15 +1,14 @@
 """Decode-path microbenchmark: ms/step + peak HBM at production shapes.
 
-Times the full decode hot path (prefill + ``lax.while_loop`` over the KV
-cache, no vocode) on the Mini-600M geometry and reports per-step latency and
-the chip's peak memory, for the XLA decode attention and the Pallas
-``decode_attention`` kernel (``--pallas``).  This is the measurement tool for
-the round-2 decode work: KV-cache memory envelope (batch 32 x 10 s / batch 4
-x 30 s on one 16 GB v5e) and the 2x step-time target.
+Times the full decode hot path (prefill + bucketed ``lax.while_loop``s over
+the KV cache, no vocode) on the Mini-600M geometry and reports per-step
+latency and the chip's peak memory.  This is the measurement tool for the
+round-2 decode work: KV-cache memory envelope (batch 32 x 10 s / batch 4 x
+30 s on one 16 GB v5e) and the 2x step-time target.
 
 Usage:
-  python benchmarks/decode_bench.py --batch 32 --seconds 10 [--pallas]
-      [--reps 3] [--kv-dtype int8] [--int8-weights]
+  python benchmarks/decode_bench.py --batch 32 --seconds 10
+      [--reps 3] [--kv-dtype int8] [--int8-weights] [--kv-buckets N]
 """
 
 from __future__ import annotations
@@ -25,11 +24,12 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--pallas", action="store_true", help="use the pallas decode-attention kernel")
     ap.add_argument("--kv-dtype", default=None, choices=["int8"],
                     help="KV-cache storage dtype override")
     ap.add_argument("--int8-weights", action="store_true",
                     help="int8 weight-only decode matmuls")
+    ap.add_argument("--kv-buckets", type=int, default=8,
+                    help="max KV read-length buckets (1 = single full-range loop)")
     args = ap.parse_args()
 
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
@@ -43,21 +43,20 @@ def main() -> int:
     from parler_tts_tpu.core.config import GenerationConfig, mini_600m_config
     from parler_tts_tpu.generation import generate as G
     from parler_tts_tpu.models import parler
-    from parler_tts_tpu.ops import runtime_flags
     from parler_tts_tpu.ops.nn import astype_tree
-
-    runtime_flags.set_pallas_decode(bool(args.pallas))
 
     cfg = mini_600m_config()
     frames = int(args.seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
     gen = GenerationConfig(
         max_length=frames, do_sample=True, temperature=1.0, top_k=50,
         kv_cache_dtype=args.kv_dtype, int8_weights=args.int8_weights,
+        kv_read_buckets=args.kv_buckets,
     )
 
     dev = jax.devices()[0]
-    print(f"backend={jax.default_backend()} pallas_decode={args.pallas} "
-          f"kv_dtype={args.kv_dtype} batch={args.batch} frames={frames}", file=sys.stderr)
+    print(f"backend={jax.default_backend()} kv_dtype={args.kv_dtype} "
+          f"kv_buckets={args.kv_buckets} batch={args.batch} frames={frames}",
+          file=sys.stderr)
 
     t0 = time.time()
     params = jax.jit(
@@ -108,7 +107,7 @@ def main() -> int:
         "batch": args.batch,
         "seconds": args.seconds,
         "steps": steps,
-        "pallas_decode": bool(args.pallas),
+        "kv_buckets": args.kv_buckets,
         "kv_dtype": args.kv_dtype,
         "total_s": round(median, 3),
         "ms_per_step": round(median / max(steps, 1) * 1000, 3),

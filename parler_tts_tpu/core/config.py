@@ -216,6 +216,11 @@ class GenerationConfig:
     # latency.  Both use exact scale folding (ops/quantization.py).
     kv_cache_dtype: str | None = None  # None = compute dtype, or "int8"
     int8_weights: bool = False
+    # Bucketed KV reads: the decode loop runs one while_loop per length
+    # bucket, statically slicing attention reads to the bucket so HBM traffic
+    # scales with generated length instead of max_length.  Value = max number
+    # of buckets (compile cost is one loop body per bucket); <= 1 disables.
+    kv_read_buckets: int = 8
 
     to_dict = _asdict
     from_dict = classmethod(_fromdict)

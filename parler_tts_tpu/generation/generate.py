@@ -168,43 +168,97 @@ def generate_tokens(
         params["decoder"], int8=gen.int8_weights
     )
 
-    def cond(s: DecodeState):
-        return (s.t < max_length) & ~jnp.all(s.finished)
+    def make_cond(t_hi: int):
+        def cond(s: DecodeState):
+            return (s.t < t_hi) & ~jnp.all(s.finished)
 
-    def body(s: DecodeState) -> DecodeState:
-        step_key = jax.random.fold_in(s.key, s.t)
-        logits = s.logits
-        if use_cfg:
-            cond_l, uncond_l = logits[:b], logits[b:]
-            logits = sampling.apply_cfg(cond_l, uncond_l, gen.guidance_scale)
-        logits = sampling.process_logits(logits, gen)
-        sampled = sampling.select_tokens(step_key, logits, gen).astype(jnp.int32)  # (B,K)
+        return cond
 
-        # finished streams emit PAD (HF unfinished_sequences semantics)
-        sampled = jnp.where(s.finished, pad, sampled)
-        # delay pattern forcing (reference re-applies the mask every step,
-        # :1203-1212)
-        forced = lax.dynamic_slice_in_dim(s.tokens, s.t, 1, axis=2)[:, :, 0]
-        pat_t = lax.dynamic_slice_in_dim(pattern, s.t, 1, axis=2)[:, :, 0]
-        token_t = jnp.where(pat_t == -1, sampled, forced)
-        new_finished = s.finished | (token_t == eos)
+    def make_body(kv_limit: int | None):
+        def body(s: DecodeState) -> DecodeState:
+            step_key = jax.random.fold_in(s.key, s.t)
+            logits = s.logits
+            if use_cfg:
+                cond_l, uncond_l = logits[:b], logits[b:]
+                logits = sampling.apply_cfg(cond_l, uncond_l, gen.guidance_scale)
+            logits = sampling.process_logits(logits, gen)
+            sampled = sampling.select_tokens(step_key, logits, gen).astype(jnp.int32)  # (B,K)
 
-        new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
+            # finished streams emit PAD (HF unfinished_sequences semantics)
+            sampled = jnp.where(s.finished, pad, sampled)
+            # delay pattern forcing (reference re-applies the mask every step,
+            # :1203-1212)
+            forced = lax.dynamic_slice_in_dim(s.tokens, s.t, 1, axis=2)[:, :, 0]
+            pat_t = lax.dynamic_slice_in_dim(pattern, s.t, 1, axis=2)[:, :, 0]
+            token_t = jnp.where(pat_t == -1, sampled, forced)
+            new_finished = s.finished | (token_t == eos)
 
-        hidden, new_cache = decoder_mod.forward(
-            decode_params,
-            dcfg,
-            _decoder_rows(token_t[:, :, None], use_cfg),
-            encoder_attention_mask=enc_mask,
-            attention_mask=fused_mask,
-            cache=s.cache,
-            dtype=dtype,
+            new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
+
+            hidden, new_cache = decoder_mod.forward(
+                decode_params,
+                dcfg,
+                _decoder_rows(token_t[:, :, None], use_cfg),
+                encoder_attention_mask=enc_mask,
+                attention_mask=fused_mask,
+                cache=s.cache,
+                kv_read_limit=kv_limit,
+                auto_flush=False,
+                dtype=dtype,
+            )
+            new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
+            return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
+
+        return body
+
+    # Loop nest, outer to inner:
+    # * one Python-level loop per KV-length bucket — the loop for bucket
+    #   limit L only runs steps whose attention READ region (p_len + t
+    #   positions) fits in L, and statically slices cache reads to L, so
+    #   average attention HBM traffic scales with generated length, not
+    #   max_length.  State flows from one bucket into the next; a bucket
+    #   whose range is already past (or where every stream is finished)
+    #   exits immediately on its condition.
+    # * while_loop over STAGE-step segments: each outer iteration runs up to
+    #   STAGE decode steps (inner while_loop, stage-only cache writes) then
+    #   flushes the stage slab into the main KV buffers in one bulk update —
+    #   flushing structurally (not via lax.cond inside the step) keeps the
+    #   carried cache buffers aliased in place.
+    def make_inner_cond(t_hi: int):
+        def cond(s: DecodeState):
+            staged = s.cache.index - s.cache.flushed
+            return (s.t < t_hi) & ~jnp.all(s.finished) & (staged < decoder_mod.STAGE)
+
+        return cond
+
+    def make_outer_body(t_hi: int, kv_limit: int | None):
+        inner_cond, inner_body = make_inner_cond(t_hi), make_body(kv_limit)
+
+        def outer_body(s: DecodeState) -> DecodeState:
+            s = lax.while_loop(inner_cond, inner_body, s)
+            return s._replace(cache=decoder_mod.flush_stage(s.cache))
+
+        return outer_body
+
+    t_fused_max = p_len + max_length
+    final = state
+    for kv_limit in _kv_read_limits(p_len + t0, t_fused_max, gen.kv_read_buckets):
+        t_hi = min(max_length, kv_limit - p_len + 1)
+        limit = None if kv_limit >= t_fused_max else kv_limit
+        final = lax.while_loop(
+            make_cond(t_hi), make_outer_body(t_hi, limit), final
         )
-        new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
-        return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
-
-    final = lax.while_loop(cond, body, state)
     return final.tokens, final.t
+
+
+def _kv_read_limits(min_limit: int, t_fused_max: int, max_buckets: int) -> list[int]:
+    """Static KV read-length buckets: multiples of 128, at most
+    ``max_buckets`` of them, last one = ``t_fused_max``."""
+    if max_buckets <= 1 or t_fused_max <= 256:
+        return [t_fused_max]
+    step = max(256, -(-t_fused_max // max_buckets // 128) * 128)
+    limits = [l for l in range(step, t_fused_max, step) if l >= max(min_limit, step)]
+    return limits + [t_fused_max]
 
 
 def postprocess_tokens(

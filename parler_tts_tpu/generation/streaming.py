@@ -114,14 +114,22 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         )
         return state, pattern, enc_mask, fused_mask
 
-    @jax.jit
-    def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask):
+    # kv_read_limit is static: one compiled variant per KV length bucket
+    # (reused across streams via the jit + persistent compilation caches);
+    # attention reads scale with the chunk's end position, not max_length
+    @functools.partial(jax.jit, static_argnames=("kv_read_limit",))
+    def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask,
+                  kv_read_limit=None):
         decode_params = decoder_mod.prepare_decode_params(
             params["decoder"], int8=gen.int8_weights
         )
 
         def cond(s):
             return (s.t < end) & ~jnp.all(s.finished)
+
+        def inner_cond(s):
+            staged = s.cache.index - s.cache.flushed
+            return cond(s) & (staged < decoder_mod.STAGE)
 
         def body(s):
             step_key = jax.random.fold_in(s.key, s.t)
@@ -138,12 +146,19 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
             hidden, new_cache = decoder_mod.forward(
                 decode_params, dcfg, _decoder_rows(token_t[:, :, None], use_cfg),
                 encoder_attention_mask=enc_mask, attention_mask=fused_mask,
-                cache=s.cache, dtype=dtype,
+                cache=s.cache, kv_read_limit=kv_read_limit, auto_flush=False,
+                dtype=dtype,
             )
             new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
             return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
 
-        s = lax.while_loop(cond, body, s)
+        def outer_body(s):
+            # up to STAGE stage-only decode steps, then one bulk cache flush
+            # (structural flushing keeps the carry aliased; see generate.py)
+            s = lax.while_loop(inner_cond, body, s)
+            return s._replace(cache=decoder_mod.flush_stage(s.cache))
+
+        s = lax.while_loop(cond, outer_body, s)
         # undelayed view computed on-device (cheap) so the host only fetches
         return s, undelay_pattern(s.tokens[:, :, 1:])
 
@@ -216,12 +231,21 @@ def stream_generate(
     )
 
     hop = cfg.audio_encoder.hop_length
+    p_len = int(prompt_input_ids.shape[1])
+    t_fused_max = p_len + max_length
+    from parler_tts_tpu.generation.generate import _kv_read_limits
+
+    kv_limits = _kv_read_limits(p_len + 1, t_fused_max, gen.kv_read_buckets)
     t = int(state.t)
     emitted_frames = 0
     while True:
         end = min(t + chunk_frames, max_length)
+        # smallest bucket covering every read in this chunk (reads reach
+        # position p_len + end - 1 at most); None = full buffer
+        kv_lim = next(l for l in kv_limits if l >= p_len + end)
         state, codes_dev = run_chunk(
-            params, state, jnp.asarray(end, jnp.int32), pattern, enc_mask, fused_mask
+            params, state, jnp.asarray(end, jnp.int32), pattern, enc_mask, fused_mask,
+            kv_read_limit=None if kv_lim >= t_fused_max else kv_lim,
         )
         t_now = int(state.t)  # forces chunk completion (host sync point)
         done = bool(np.asarray(jnp.all(state.finished))) or t_now >= max_length

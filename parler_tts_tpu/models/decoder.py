@@ -8,10 +8,11 @@ Semantic equivalent of the reference's ``ParlerTTSDecoder`` /
   ``(num_layers, ...)`` axis and the block stack runs under ``lax.scan``:
   one compiled layer body instead of 24 unrolled copies (fast compiles, and
   XLA pipelines the weight loads from HBM).
-* **Static-shape KV cache** — ``(L, B, H, T_max, D)`` buffers updated with
-  ``dynamic_update_slice`` at a scalar ``index``; cross-attention K/V are
-  computed once at prefill (reference caches them per-layer at
-  ``modeling_parler_tts.py:287-298``).
+* **Static-shape KV cache, tile-aware** — ``(L, B, H, D, T_max)`` time-minor
+  buffers (dense 128-lane reads at D=64) plus a small write-staging slab
+  flushed in bulk every :data:`STAGE` steps (see :class:`KVCache`);
+  cross-attention K/V are computed once at prefill (reference caches them
+  per-layer at ``modeling_parler_tts.py:287-298``).
 * **Fused codebook embedding** — the K per-codebook tables are one
   ``(K, vocab+1, H)`` array; the sum over codebooks
   (reference ``:836``) is a single gather over an offset-flattened table.
@@ -66,29 +67,60 @@ def sinusoidal_positions(num_positions: int, dim: int) -> jnp.ndarray:
     return table
 
 
-class KVCache(NamedTuple):
-    """Static-shape decode cache.
+def sinusoidal_position_at(index: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Single (dim,) position row for a traced scalar ``index`` — the decode
+    loop needs one row per step, and computing it directly keeps the
+    (max_positions, dim) table out of the loop body (XLA does not hoist the
+    table build across the ``while``; it cost ~60 us/step at Mini shapes)."""
+    half = dim // 2
+    freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(jnp.log(10000.0) / (half - 1)))
+    angles = index.astype(jnp.float32) * freq
+    row = jnp.concatenate([jnp.cos(angles), jnp.sin(angles)])
+    if dim % 2 == 1:
+        row = jnp.pad(row, (0, 1))
+    return row
 
-    self_k/self_v: (L, B, H, T_max, D) — self-attention keys/values at
-    absolute fused positions (prompt prefix + codec frames).  Storage dtype
-    is either the compute dtype or **int8** with per-position symmetric
-    scales (``kv_dtype="int8"``): the scale is constant over D so it folds
-    exactly out of both attention dots (see ``ops/quantization.py``) —
-    halving the decode loop's dominant HBM term (cache reads) and the cache's
-    footprint (the 16 GB-chip envelope gate).
+
+STAGE = 8  # decode positions buffered before a bulk cache flush (see KVCache)
+
+
+class KVCache(NamedTuple):
+    """Static-shape decode cache, laid out for the v5e tile geometry.
+
+    self_k/self_v: (L, B, H, D, T_max) — self-attention keys/values at
+    absolute fused positions (prompt prefix + codec frames), **time-minor**:
+    with D=64 the natural (T, D) layout half-fills the 128-lane tile minor
+    dim and the decode attention read runs ~1.9x off HBM bound; (D, T) reads
+    dense.  Storage dtype is either the compute dtype or **int8** with
+    per-position symmetric scales (``kv_dtype="int8"``): the scale is
+    constant over D so it folds exactly out of both attention dots (see
+    ``ops/quantization.py``) — halving the decode loop's dominant HBM term
+    and the cache footprint (the 16 GB-chip envelope gate).
     self_k_scale/self_v_scale: (L, B, H, T_max) f32, or None when unquantized.
+    stage_k/stage_v: (L, STAGE, B, H, D) compute dtype — the most recent
+    ``index - flushed`` decode positions.  Per-step single-position writes
+    into the big buffers touch one tile per (layer, batch, head) — ~100 MB of
+    tile read-modify-write traffic per step at Mini batch-32 shapes — so
+    decode steps append to this small slab-contiguous buffer instead and
+    attention covers [main | stage | current]; every STAGE steps the slab is
+    quantized + transposed + written to the main buffers in one bulk update.
     cross_k/cross_v: (L, B, H, S, D) — description keys/values, filled at
     prefill, read-only afterwards (small: kept in compute dtype).
     index: scalar int32 — number of fused positions already written.
+    flushed: scalar int32 — positions materialized in self_k/self_v
+    (``index - flushed`` positions live in the stage buffers).
     """
 
     self_k: jnp.ndarray
     self_v: jnp.ndarray
     self_k_scale: jnp.ndarray | None
     self_v_scale: jnp.ndarray | None
+    stage_k: jnp.ndarray
+    stage_v: jnp.ndarray
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
     index: jnp.ndarray
+    flushed: jnp.ndarray
 
 
 def init_cache(
@@ -104,25 +136,60 @@ def init_cache(
     l, h, d = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
     quant = kv_dtype == "int8"
     store = jnp.int8 if quant else dtype
+    max_len = max_len + STAGE  # slack so a partial tail flush never clamps
     return KVCache(
-        self_k=jnp.zeros((l, batch, h, max_len, d), store),
-        self_v=jnp.zeros((l, batch, h, max_len, d), store),
+        self_k=jnp.zeros((l, batch, h, d, max_len), store),
+        self_v=jnp.zeros((l, batch, h, d, max_len), store),
         self_k_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
         self_v_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
+        stage_k=jnp.zeros((l, STAGE, batch, h, d), dtype),
+        stage_v=jnp.zeros((l, STAGE, batch, h, d), dtype),
         cross_k=jnp.zeros((l, batch, h, enc_len, d), dtype),
         cross_v=jnp.zeros((l, batch, h, enc_len, d), dtype),
         index=jnp.zeros((), jnp.int32),
+        flushed=jnp.zeros((), jnp.int32),
     )
 
 
 def _store_kv(values: jnp.ndarray, cache_buf: jnp.ndarray):
     """Convert freshly-computed K/V (L, B, H, t, D) to the cache's storage
-    format: (stored values, scales-or-None)."""
+    format — (D, T)-transposed, int8-quantized when the cache is int8:
+    (stored values (L, B, H, D, t), scales (L, B, H, t)-or-None)."""
     if cache_buf.dtype == jnp.int8:
         from parler_tts_tpu.ops.quantization import quantize_kv
 
-        return quantize_kv(values)
-    return values.astype(cache_buf.dtype), None
+        q, scale = quantize_kv(values)
+        return jnp.swapaxes(q, -1, -2), scale
+    return jnp.swapaxes(values.astype(cache_buf.dtype), -1, -2), None
+
+
+def flush_stage(cache: KVCache) -> KVCache:
+    """Write the stage slab into the main (D, T)-layout buffers in one bulk
+    quantize+transpose update and advance ``flushed`` to ``index``.
+
+    Always writes the full STAGE-wide slab at offset ``flushed``: slots past
+    ``index - flushed`` land as garbage in positions ``>= index``, which are
+    (a) invisible to attention (reads mask ``< flushed``) and (b) overwritten
+    by the next flush; ``init_cache`` over-allocates T by STAGE so a partial
+    tail flush never clamps into valid positions.  Safe to call with an empty
+    stage (no-op apart from the masked garbage write)."""
+    fk, fk_sc = _store_kv(jnp.moveaxis(cache.stage_k, 1, 3), cache.self_k)
+    fv, fv_sc = _store_kv(jnp.moveaxis(cache.stage_v, 1, 3), cache.self_v)
+    off = cache.flushed
+    return KVCache(
+        lax.dynamic_update_slice(cache.self_k, fk, (0, 0, 0, 0, off)),
+        lax.dynamic_update_slice(cache.self_v, fv, (0, 0, 0, 0, off)),
+        lax.dynamic_update_slice(cache.self_k_scale, fk_sc, (0, 0, 0, off))
+        if cache.self_k_scale is not None else None,
+        lax.dynamic_update_slice(cache.self_v_scale, fv_sc, (0, 0, 0, off))
+        if cache.self_v_scale is not None else None,
+        cache.stage_k,
+        cache.stage_v,
+        cache.cross_k,
+        cache.cross_v,
+        cache.index,
+        cache.index,
+    )
 
 
 def prepare_decode_params(params: Params, int8: bool = False) -> Params:
@@ -235,22 +302,42 @@ def _self_attention_decode(
     x: jnp.ndarray,
     past_k: jnp.ndarray,
     past_v: jnp.ndarray,
+    stage_k: jnp.ndarray,
+    stage_v: jnp.ndarray,
     index: jnp.ndarray,
+    flushed: jnp.ndarray,
     kv_pad_mask: jnp.ndarray | None,
     k_scale: jnp.ndarray | None = None,
     v_scale: jnp.ndarray | None = None,
+    kv_read_limit: int | None = None,
 ):
-    """Single-token cached decode.  The past cache is READ-ONLY (positions
-    ``< index``); the current token's K/V contribution is merged as an
-    explicit extra attention column and returned as the per-layer slice for
-    one batched cache insert in the caller — this avoids re-materializing the
-    (L, B, H, T_max, D) buffers every step (the naive scan-carried update
-    cost ~5.5 ms/step in copies at batch 32 on v5e).
+    """Single-token cached decode over [main cache | stage | current token].
 
-    On TPU the past attention runs in the pallas ``decode_attention`` kernel,
-    streaming only ``ceil(index/block)`` KV blocks from HBM.
+    ``past_k/past_v`` (B, H, D, T) are READ-ONLY (positions ``< flushed``
+    valid); ``stage_k/stage_v`` (STAGE, B, H, D) hold the most recent
+    ``index - flushed`` positions in compute dtype; the current token's K/V
+    is an explicit extra column and is returned as the per-layer slice for
+    the caller's staged insert (see :class:`KVCache` for why writes are
+    staged).
+
+    ``kv_read_limit`` (static) restricts the main-cache READ to the first
+    ``kv_read_limit`` positions — valid whenever ``flushed <=
+    kv_read_limit``.  The static prefix slice on the minor (time) axis fuses
+    into the dot read, so HBM traffic scales with the bucketed length
+    instead of the full buffer (the decode loop in ``generation/generate.py``
+    runs one ``while_loop`` per bucket).
+
     Returns (out, (k_new, v_new)) with k_new/v_new (B, H, 1, D).
     """
+    if kv_read_limit is not None and kv_read_limit < past_k.shape[3]:
+        past_k = lax.slice_in_dim(past_k, 0, kv_read_limit, axis=3)
+        past_v = lax.slice_in_dim(past_v, 0, kv_read_limit, axis=3)
+        if k_scale is not None:
+            k_scale = lax.slice_in_dim(k_scale, 0, kv_read_limit, axis=2)
+        if v_scale is not None:
+            v_scale = lax.slice_in_dim(v_scale, 0, kv_read_limit, axis=2)
+        if kv_pad_mask is not None:
+            kv_pad_mask = lax.slice_in_dim(kv_pad_mask, 0, kv_read_limit, axis=1)
     scale = cfg.head_dim**-0.5
     if "qkv" in p:
         # fused projection (prepare_decode_params): one (H, 3H) matmul
@@ -264,50 +351,39 @@ def _self_attention_decode(
         k_new = split_heads(dense(p["k"], x), cfg.num_attention_heads)
         v_new = split_heads(dense(p["v"], x), cfg.num_attention_heads)
     dtype = q.dtype
-    b, h, _, d = q.shape
-    t_max = past_k.shape[2]
+    t_read = past_k.shape[3]
+    n_stage = stage_k.shape[0]
 
-    if runtime_flags.use_pallas_decode():
-        from parler_tts_tpu.ops.pallas.decode_attention import decode_attention
+    # int8 cache: the per-position scale is constant over D, so it folds
+    # out of both dots — scores scale after the q.k dot, value scales
+    # into the probs (ops/quantization.py) — and the int8->bf16 convert
+    # fuses into the dot operand load (no dequantized buffer in HBM)
+    s_past = jnp.einsum("bhqd,bhdk->bhqk", q, past_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+    if k_scale is not None:
+        s_past = s_past * k_scale[:, :, None, :]
+    key_ok = jnp.arange(t_read)[None, None, None, :] < flushed
+    if kv_pad_mask is not None:
+        key_ok = key_ok & kv_pad_mask[:, None, None, :].astype(bool)
+    s_past = jnp.where(key_ok, s_past, NEG_INF)
 
-        start = None
-        if kv_pad_mask is not None:
-            # contiguous left padding: first valid position per row
-            start = jnp.argmax(kv_pad_mask != 0, axis=1).astype(jnp.int32)  # (B,)
-        out = decode_attention(
-            q[:, :, 0],
-            past_k if k_scale is not None else past_k.astype(dtype),
-            past_v if v_scale is not None else past_v.astype(dtype),
-            index,
-            start,
-            k_new=k_new[:, :, 0].astype(dtype),
-            v_new=v_new[:, :, 0].astype(dtype),
-            k_scale=k_scale,
-            v_scale=v_scale,
-            scale=1.0,  # q pre-scaled
-        )[:, :, None, :]
-    else:
-        # int8 cache: the per-position scale is constant over D, so it folds
-        # out of both dots — scores scale after the q.k dot, value scales
-        # into the probs (ops/quantization.py) — and the int8->bf16 convert
-        # fuses into the dot operand load (no dequantized buffer in HBM)
-        s_past = jnp.einsum("bhqd,bhkd->bhqk", q, past_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
-        if k_scale is not None:
-            s_past = s_past * k_scale[:, :, None, :]
-        key_ok = jnp.arange(t_max)[None, None, None, :] < index
-        if kv_pad_mask is not None:
-            key_ok = key_ok & kv_pad_mask[:, None, None, :].astype(bool)
-        s_past = jnp.where(key_ok, s_past, NEG_INF)
-        s_self = jnp.sum(q * k_new.astype(dtype), axis=-1, keepdims=True).astype(jnp.float32)  # (B,H,1,1)
-        s_all = jnp.concatenate([s_past, s_self], axis=-1)
-        probs = jax.nn.softmax(s_all, axis=-1).astype(dtype)
-        probs_past = probs[..., :t_max]
-        if v_scale is not None:
-            probs_past = probs_past * v_scale[:, :, None, :].astype(dtype)
-        out = (
-            jnp.einsum("bhqk,bhkd->bhqd", probs_past, past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
-            + probs[..., t_max:] * v_new.astype(dtype)
-        )
+    s_stage = jnp.einsum("bhqd,cbhd->bhqc", q, stage_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+    stage_ok = jnp.arange(n_stage)[None, None, None, :] < (index - flushed)
+    s_stage = jnp.where(stage_ok, s_stage, NEG_INF)
+
+    s_self = jnp.sum(q * k_new.astype(dtype), axis=-1, keepdims=True).astype(jnp.float32)  # (B,H,1,1)
+    s_all = jnp.concatenate([s_past, s_stage, s_self], axis=-1)
+    probs = jax.nn.softmax(s_all, axis=-1).astype(dtype)
+    probs_past = probs[..., :t_read]
+    if v_scale is not None:
+        # multiply in f32 and downcast the (B,H,1,T) product — casting
+        # v_scale to bf16 instead makes XLA materialize a converted copy of
+        # the whole stacked (L,B,H,T) scale buffer every step
+        probs_past = (probs_past.astype(jnp.float32) * v_scale[:, :, None, :]).astype(dtype)
+    out = (
+        jnp.einsum("bhqk,bhdk->bhqd", probs_past, past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+        + jnp.einsum("bhqc,cbhd->bhqd", probs[..., t_read : t_read + n_stage], stage_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+        + probs[..., -1:] * v_new.astype(dtype)
+    )
     return dense(p["o"], merge_heads(out)), (k_new, v_new)
 
 
@@ -384,19 +460,24 @@ def _layer_decode(
     x: jnp.ndarray,
     past_k,
     past_v,
+    stage_k,
+    stage_v,
     cross_k,
     cross_v,
     enc_mask,
     index,
+    flushed,
     kv_pad_mask=None,
     k_scale=None,
     v_scale=None,
+    kv_read_limit=None,
 ):
     """Single-token cached layer: read-only past, returns new KV slice."""
     act = ACTIVATIONS[cfg.activation_function]
     h = layer_norm(lp["ln_self"], x)
     attn_out, self_kv = _self_attention_decode(
-        lp["self_attn"], cfg, h, past_k, past_v, index, kv_pad_mask, k_scale, v_scale
+        lp["self_attn"], cfg, h, past_k, past_v, stage_k, stage_v, index, flushed,
+        kv_pad_mask, k_scale, v_scale, kv_read_limit,
     )
     x = x + attn_out
 
@@ -422,6 +503,8 @@ def forward(
     cache: KVCache | None = None,
     prefill: bool = False,
     train_key: jnp.ndarray | None = None,
+    kv_read_limit: int | None = None,
+    auto_flush: bool = True,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
@@ -455,8 +538,11 @@ def forward(
 
     # positions over the fused sequence, offset by past length (reference
     # :881-886 — prompt tokens consume position ids, known reference TODO)
-    pos_table = sinusoidal_positions(cfg.max_position_embeddings, cfg.hidden_size)
-    positions = lax.dynamic_slice(pos_table, (past_len, 0), (t_fused, cfg.hidden_size))
+    if cache is not None and not prefill:
+        positions = sinusoidal_position_at(past_len, cfg.hidden_size)[None]
+    else:
+        pos_table = sinusoidal_positions(cfg.max_position_embeddings, cfg.hidden_size)
+        positions = lax.dynamic_slice(pos_table, (past_len, 0), (t_fused, cfg.hidden_size))
     x = inputs_embeds + positions.astype(dtype)[None]
 
     if cache is not None and not prefill:
@@ -479,7 +565,7 @@ def forward(
                 else jnp.ones((b, t_fused), jnp.int8)
             )
     else:
-        t_max = cache.self_k.shape[3]
+        t_max = cache.self_k.shape[4]
         if attention_mask is not None:
             kv_pad_mask = jnp.pad(
                 attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])), constant_values=1
@@ -536,16 +622,20 @@ def forward(
             if k_scales is not None else None,
             lax.dynamic_update_slice(cache.self_v_scale, v_scales, (0, 0, 0, 0))
             if v_scales is not None else None,
+            cache.stage_k,
+            cache.stage_v,
             cks.astype(cache.cross_k.dtype),
             cvs.astype(cache.cross_v.dtype),
+            past_len + t_fused,
             past_len + t_fused,
         )
     else:
         def scan_body(x, s):
-            lp, sk, sv, ksc, vsc, ck, cv = s
+            lp, sk, sv, ksc, vsc, stk, stv, ck, cv = s
             x, self_kv = _layer_decode(
-                lp, cfg, x, sk, sv, ck, cv, enc_mask, past_len, kv_pad_mask,
-                k_scale=ksc, v_scale=vsc,
+                lp, cfg, x, sk, sv, stk, stv, ck, cv, enc_mask, past_len,
+                cache.flushed, kv_pad_mask,
+                k_scale=ksc, v_scale=vsc, kv_read_limit=kv_read_limit,
             )
             return x, (self_kv[0], self_kv[1])
 
@@ -553,21 +643,35 @@ def forward(
             scan_body,
             x,
             (layers, cache.self_k, cache.self_v, cache.self_k_scale,
-             cache.self_v_scale, cache.cross_k, cache.cross_v),
+             cache.self_v_scale, cache.stage_k, cache.stage_v,
+             cache.cross_k, cache.cross_v),
         )
-        ks, k_scales = _store_kv(ks, cache.self_k)
-        vs, v_scales = _store_kv(vs, cache.self_v)
+        # append the new position to the stage slab (cheap contiguous write;
+        # see KVCache docstring)
+        slot = past_len - cache.flushed  # 0..STAGE-1
+        stage_k = lax.dynamic_update_slice(
+            cache.stage_k, jnp.moveaxis(ks, 3, 1).astype(cache.stage_k.dtype),
+            (0, slot, 0, 0, 0),
+        )
+        stage_v = lax.dynamic_update_slice(
+            cache.stage_v, jnp.moveaxis(vs, 3, 1).astype(cache.stage_v.dtype),
+            (0, slot, 0, 0, 0),
+        )
         new_cache = KVCache(
-            lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, past_len, 0)),
-            lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, past_len, 0)),
-            lax.dynamic_update_slice(cache.self_k_scale, k_scales, (0, 0, 0, past_len))
-            if k_scales is not None else None,
-            lax.dynamic_update_slice(cache.self_v_scale, v_scales, (0, 0, 0, past_len))
-            if v_scales is not None else None,
-            cache.cross_k,
-            cache.cross_v,
-            past_len + 1,
+            cache.self_k, cache.self_v, cache.self_k_scale, cache.self_v_scale,
+            stage_k, stage_v, cache.cross_k, cache.cross_v, past_len + 1,
+            cache.flushed,
         )
+        if auto_flush:
+            # stage full -> bulk flush.  A lax.cond carrying the big cache
+            # buffers de-aliases the while carry (measured: per-step
+            # whole-buffer relayout copies), so hot loops pass
+            # auto_flush=False and call :func:`flush_stage` at static
+            # STAGE-step boundaries instead; this branch keeps the simple
+            # step-by-step forward() API correct.
+            new_cache = lax.cond(
+                slot + 1 == cache.stage_k.shape[1], flush_stage, lambda c: c, new_cache
+            )
 
     x = layer_norm(params["final_ln"], x)
     return x, new_cache

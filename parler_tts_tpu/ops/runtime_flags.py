@@ -28,17 +28,10 @@ def use_pallas() -> bool:
         return False
 
 
-def set_pallas_decode(enabled: bool | None) -> None:
-    """Override for the single-query decode-attention kernel specifically."""
-    global _PALLAS_DECODE_OVERRIDE
-    _PALLAS_DECODE_OVERRIDE = enabled
-
-
-def use_pallas_decode() -> bool:
-    """Default OFF: measured on v5e, XLA's batched single-query attention
-    beats the per-(batch,head) sequential pallas grid at production shapes
-    (5.6 vs 13.7 ms/step at batch 32, T_max 315) — the kernel's HBM savings
-    don't overcome its grid overhead.  Kept for explicit opt-in/experiments."""
-    if _PALLAS_DECODE_OVERRIDE is not None:
-        return _PALLAS_DECODE_OVERRIDE
-    return False
+# NOTE: there is deliberately no pallas decode-attention kernel (and no flag
+# for one).  Two designs were measured on v5e at production decode shapes
+# (batch 32, T ~300-900): a per-(batch,head) sequential grid (13.7 ms/step)
+# and a head-folded (batch, kv-block) grid with VPU multiply-reduce
+# (20-23 ms/step with int8 or bf16 KV).  XLA's fused batched single-query
+# attention over the (L, B, H, D, T) time-minor cache wins (< 9 ms/step), so
+# the kernel was removed rather than shipped as a slower opt-in.

@@ -1,0 +1,72 @@
+"""Bucketed KV reads: the multi-while_loop decode (generation/generate.py
+`_kv_read_limits`) must produce the same tokens as the single full-range loop.
+
+The length buckets only drop attention columns that are masked anyway
+(positions >= cache.index), so greedy token streams are identical."""
+
+import numpy as np
+
+import jax
+
+from parler_tts_tpu.core.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5EncoderConfig,
+)
+from parler_tts_tpu.generation import generate as G
+from parler_tts_tpu.generation.generate import _kv_read_limits
+from parler_tts_tpu.models import parler
+
+
+def test_kv_read_limits_shape():
+    # covers the full range, respects the bucket cap, multiples of 128
+    lims = _kv_read_limits(30, 920, 8)
+    assert lims[-1] == 920
+    assert len(lims) <= 8
+    assert all(l % 128 == 0 for l in lims[:-1])
+    assert all(b > a for a, b in zip(lims, lims[1:]))
+    # degenerate: tiny max_length or buckets disabled -> single loop
+    assert _kv_read_limits(10, 200, 8) == [200]
+    assert _kv_read_limits(10, 920, 1) == [920]
+
+
+def test_bucketed_decode_matches_full_loop():
+    cfg = ParlerTTSConfig(
+        vocab_size=120,
+        text_encoder=T5EncoderConfig(
+            vocab_size=120, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4
+        ),
+        audio_encoder=DACConfig(
+            num_codebooks=4, codebook_size=32, codebook_dim=4, latent_dim=16,
+            encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=16,
+            upsampling_ratios=(4, 2),
+        ),
+        decoder=DecoderConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=64, num_codebooks=4, max_position_embeddings=512,
+            pad_token_id=32, eos_token_id=32, bos_token_id=33, dropout=0.0,
+        ),
+    )
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
+    rng = np.random.default_rng(0)
+    inputs = dict(
+        input_ids=rng.integers(0, 120, (2, 7)),
+        prompt_input_ids=rng.integers(0, 120, (2, 5)),
+    )
+    # max_length 300 + prompt 5 -> buckets [256, 305] with the default cap
+    base_gen = GenerationConfig(
+        max_length=300, do_sample=False, decoder_start_token_id=33,
+        pad_token_id=32, bos_token_id=33, eos_token_id=32, kv_read_buckets=1,
+    )
+    bucketed_gen = GenerationConfig(**{**base_gen.to_dict(), "kv_read_buckets": 8})
+    assert len(_kv_read_limits(6, 305, 8)) >= 2
+
+    base, _ = G.generate_tokens(
+        params, cfg, base_gen, **inputs, key=jax.random.PRNGKey(0)
+    )
+    bucketed, _ = G.generate_tokens(
+        params, cfg, bucketed_gen, **inputs, key=jax.random.PRNGKey(0)
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(bucketed))

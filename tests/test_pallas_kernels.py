@@ -7,10 +7,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from parler_tts_tpu.ops.pallas.decode_attention import (
-    decode_attention,
-    decode_attention_reference,
-)
 from parler_tts_tpu.ops.pallas.flash_attention import flash_attention_bhtd
 
 
@@ -23,50 +19,6 @@ def ref_attn(q, k, v, kv_mask, scale, causal):
     s = jnp.where(mask, s, -1e9)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-
-
-@pytest.mark.parametrize("length", [5, 37, 256, 301, 512])
-def test_decode_attention_matches_reference(length):
-    rng = np.random.default_rng(0)
-    B, H, T, D = 4, 2, 512, 64
-    q = rng.standard_normal((B, H, D)).astype(np.float32)
-    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
-    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
-    start = np.array([0, 3, 300, 2], np.int32)
-    ref = decode_attention_reference(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length), jnp.asarray(start), scale=0.125
-    )
-    out = decode_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length), jnp.asarray(start),
-        scale=0.125, interpret=True,
-    )
-    d = np.abs(np.asarray(out) - np.asarray(ref))
-    if length <= 300:
-        d[2] = 0  # row with start=300 is fully masked -> degenerate
-    assert d.max() < 1e-5
-
-
-@pytest.mark.parametrize("length", [0, 5, 256, 511])
-def test_decode_attention_with_self_token(length):
-    """Past + explicit current-token column (the production decode path)."""
-    rng = np.random.default_rng(3)
-    B, H, T, D = 4, 2, 512, 64
-    q = rng.standard_normal((B, H, D)).astype(np.float32)
-    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
-    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
-    kn = rng.standard_normal((B, H, D)).astype(np.float32)
-    vn = rng.standard_normal((B, H, D)).astype(np.float32)
-    start = np.array([0, 2, 1, 3], np.int32)
-    ref = decode_attention_reference(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
-        jnp.asarray(start), k_new=jnp.asarray(kn), v_new=jnp.asarray(vn), scale=0.125,
-    )
-    out = decode_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
-        jnp.asarray(start), k_new=jnp.asarray(kn), v_new=jnp.asarray(vn),
-        scale=0.125, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 @pytest.mark.parametrize("shape,pad", [((2, 3, 256, 64), 70), ((1, 2, 40, 32), 5), ((2, 2, 300, 64), 0)])

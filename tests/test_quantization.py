@@ -11,7 +11,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from parler_tts_tpu.core.config import DecoderConfig
 from parler_tts_tpu.models import decoder as jdec
@@ -90,7 +89,9 @@ def test_int8_kv_decode_matches_fp_within_tolerance():
     fp, _ = run(None)
     q8, cache8 = run("int8")
     assert cache8.self_k.dtype == jnp.int8
-    assert cache8.self_k_scale is not None and cache8.self_k_scale.shape == (LAYERS, B, 4, T)
+    # T + STAGE: init_cache over-allocates so partial stage flushes never clamp
+    assert cache8.self_k_scale is not None
+    assert cache8.self_k_scale.shape == (LAYERS, B, 4, T + jdec.STAGE)
     rel = float(jnp.max(jnp.abs(q8 - fp)) / jnp.max(jnp.abs(fp)))
     assert rel < 5e-2, rel
 
@@ -153,37 +154,3 @@ def test_generate_int8_end_to_end():
     for k in range(K):
         assert (tokens[:, k, : k + 1] == 33).all()
     assert (tokens < 34).all() and (tokens >= 0).all()
-
-
-@pytest.mark.parametrize("quantized", [False, True])
-def test_pallas_decode_attention_int8_interpret(quantized):
-    """Pallas kernel (interpret mode) vs XLA reference with int8 scales."""
-    from parler_tts_tpu.ops.pallas.decode_attention import (
-        decode_attention, decode_attention_reference,
-    )
-
-    rng = np.random.default_rng(5)
-    B, HH, T, D = 2, 4, 40, 16
-    q = jnp.asarray(rng.standard_normal((B, HH, D)), jnp.float32)
-    kf = jnp.asarray(rng.standard_normal((B, HH, T, D)), jnp.float32)
-    vf = jnp.asarray(rng.standard_normal((B, HH, T, D)), jnp.float32)
-    k_new = jnp.asarray(rng.standard_normal((B, HH, D)), jnp.float32)
-    v_new = jnp.asarray(rng.standard_normal((B, HH, D)), jnp.float32)
-    length = jnp.asarray(23, jnp.int32)
-    start = jnp.asarray([0, 3], jnp.int32)
-
-    if quantized:
-        k, k_scale = quantize_kv(kf)
-        v, v_scale = quantize_kv(vf)
-    else:
-        k, v, k_scale, v_scale = kf, vf, None, None
-
-    out = decode_attention(
-        q, k, v, length, start, k_new=k_new, v_new=v_new,
-        k_scale=k_scale, v_scale=v_scale, scale=0.35, block_k=16, interpret=True,
-    )
-    ref = decode_attention_reference(
-        q, k, v, length, start, k_new=k_new, v_new=v_new,
-        k_scale=k_scale, v_scale=v_scale, scale=0.35,
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -45,7 +45,3 @@ def test_runtime_flags_roundtrip():
     rf.set_pallas(False)
     assert rf.use_pallas() is False
     rf.set_pallas(None)
-    rf.set_pallas_decode(True)
-    assert rf.use_pallas_decode() is True
-    rf.set_pallas_decode(None)
-    assert rf.use_pallas_decode() is False  # default off (see docstring)
