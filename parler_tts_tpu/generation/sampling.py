@@ -26,16 +26,41 @@ def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
     return logits / temperature
 
 
+def _total_order(x: jnp.ndarray):
+    """Bitcast floats to unsigned ints whose ``<`` matches the float ``<``
+    (IEEE total order: flip all bits of negatives, set the sign bit of
+    non-negatives).  Works for bf16/f16 (16-bit) and f32."""
+    bits = jnp.dtype(x.dtype).itemsize * 8
+    ui = jnp.uint16 if bits == 16 else jnp.uint32
+    si = jnp.int16 if bits == 16 else jnp.int32
+    u = jax.lax.bitcast_convert_type(x, ui)
+    neg = jax.lax.bitcast_convert_type(x, si) < 0
+    sign = jnp.asarray(1 << (bits - 1), ui)
+    return jnp.where(neg, ~u, u | sign), bits, ui
+
+
 def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """Keep the k highest logits per row, mask the rest (HF TopKLogitsWarper).
 
-    Only the k-th largest *value* is needed as a threshold, so this sorts
-    values only — ``lax.top_k`` lowers to a full (value, index) pair sort on
-    TPU, which costs ~2x more in the decode loop (273 us/step at Mini
-    batch-32 shapes vs ~140 us for the values-only sort)."""
+    Only the k-th largest *value* is needed as a threshold.  Instead of a
+    sort — XLA's TPU sort costs ~265 us/step on (32, 9, 1088) bf16 decode
+    logits; ``lax.top_k`` (a full value+index pair sort) ~2x that — the
+    threshold is found EXACTLY by bitwise bisection over the IEEE total
+    order: ``bits`` sequential compare+count reductions (16 for bf16),
+    each a cheap VPU pass over the row."""
     k = min(k, logits.shape[-1])
-    kth = jnp.sort(logits, axis=-1)[..., logits.shape[-1] - k, None]
-    return jnp.where(logits < kth, NEG_INF, logits)
+    if k == logits.shape[-1]:
+        return logits
+    u, bits, ui = _total_order(logits)
+    # invariant: count(u >= lo) >= k; final lo = total-order image of the
+    # k-th largest value (ties at the threshold are kept, matching the
+    # sort-based ``logits < sorted[n-k]`` masking)
+    lo = jnp.zeros(logits.shape[:-1], ui)
+    for i in range(bits - 1, -1, -1):
+        mid = lo | jnp.asarray(1 << i, ui)
+        cnt = jnp.sum((u >= mid[..., None]).astype(jnp.int32), axis=-1)
+        lo = jnp.where(cnt >= k, mid, lo)
+    return jnp.where(u < lo[..., None], NEG_INF, logits)
 
 
 def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:

@@ -127,10 +127,6 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         def cond(s):
             return (s.t < end) & ~jnp.all(s.finished)
 
-        def inner_cond(s):
-            staged = s.cache.index - s.cache.flushed
-            return cond(s) & (staged < decoder_mod.STAGE)
-
         def body(s):
             step_key = jax.random.fold_in(s.key, s.t)
             logits = s.logits
@@ -152,13 +148,37 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
             new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
             return DecodeState(s.t + 1, new_tokens, new_finished, new_cache, new_logits, s.key)
 
-        def outer_body(s):
-            # up to STAGE stage-only decode steps, then one bulk cache flush
-            # (structural flushing keeps the carry aliased; see generate.py)
-            s = lax.while_loop(inner_cond, body, s)
-            return s._replace(cache=decoder_mod.flush_stage(s.cache))
+        def segment_body(s):
+            # STAGE-step masked scan carrying only the small state; big KV
+            # buffers are closure constants and the flush DUS stays in place
+            # on the single outer while's carry (see the loop-nest comment in
+            # generate.py)
+            main = s.cache
 
-        s = lax.while_loop(cond, outer_body, s)
+            def masked_step(inner, _):
+                t, tokens, finished, stage_k, stage_v, index, logits = inner
+                cache = main._replace(stage_k=stage_k, stage_v=stage_v, index=index)
+                s2 = body(DecodeState(t, tokens, finished, cache, logits, s.key))
+                pred = (t < end) & ~jnp.all(finished)
+                keep = lambda new, old: jnp.where(pred, new, old)
+                return (
+                    keep(s2.t, t), keep(s2.tokens, tokens),
+                    keep(s2.finished, finished),
+                    s2.cache.stage_k, s2.cache.stage_v,
+                    keep(s2.cache.index, index), keep(s2.logits, logits),
+                ), None
+
+            inner0 = (s.t, s.tokens, s.finished, main.stage_k, main.stage_v,
+                      main.index, s.logits)
+            (t, tokens, finished, stage_k, stage_v, index, logits), _ = lax.scan(
+                masked_step, inner0, None, length=decoder_mod.STAGE
+            )
+            cache = main._replace(stage_k=stage_k, stage_v=stage_v, index=index)
+            return DecodeState(
+                t, tokens, finished, decoder_mod.flush_stage(cache), logits, s.key
+            )
+
+        s = lax.while_loop(cond, segment_body, s)
         # undelayed view computed on-device (cheap) so the host only fetches
         return s, undelay_pattern(s.tokens[:, :, 1:])
 

@@ -81,7 +81,7 @@ def sinusoidal_position_at(index: jnp.ndarray, dim: int) -> jnp.ndarray:
     return row
 
 
-STAGE = 8  # decode positions buffered before a bulk cache flush (see KVCache)
+STAGE = 64  # decode positions buffered before a bulk cache flush (see KVCache)
 
 
 class KVCache(NamedTuple):
@@ -96,16 +96,29 @@ class KVCache(NamedTuple):
     constant over D so it folds exactly out of both attention dots (see
     ``ops/quantization.py``) — halving the decode loop's dominant HBM term
     and the cache footprint (the 16 GB-chip envelope gate).
-    self_k_scale/self_v_scale: (L, B, H, T_max) f32, or None when unquantized.
-    stage_k/stage_v: (L, STAGE, B, H, D) compute dtype — the most recent
+    self_k_scale/self_v_scale: (L, B, H, T_max) bf16, or None when
+    unquantized (bf16 scales: ~0.4% extra relative error on top of int8's
+    ~0.8%, but half the per-step scale-read traffic).
+    stage_k/stage_v: (L, STAGE, B, H, D) — the most recent
     ``index - flushed`` decode positions.  Per-step single-position writes
-    into the big buffers touch one tile per (layer, batch, head) — ~100 MB of
-    tile read-modify-write traffic per step at Mini batch-32 shapes — so
-    decode steps append to this small slab-contiguous buffer instead and
-    attention covers [main | stage | current]; every STAGE steps the slab is
-    quantized + transposed + written to the main buffers in one bulk update.
-    cross_k/cross_v: (L, B, H, S, D) — description keys/values, filled at
-    prefill, read-only afterwards (small: kept in compute dtype).
+    into the big (D, T) time-minor buffers are a *lane-dynamic*
+    ``dynamic_update_slice`` — measured ~2.6 ms each at Mini batch-32
+    regardless of slab size (the dynamic minor-dim offset defeats tiled
+    lowering) — so decode steps append to this small slab-contiguous buffer
+    (slot offset on a leading dim: cheap) and attention covers
+    [main | stage | current]; every STAGE steps the slab is transposed +
+    written to the main buffers in one bulk update, amortizing the
+    lane-dynamic write cost.  Storage follows the cache: int8 + per-position
+    scales when ``kv_dtype="int8"`` (quantized at append, so stage reads —
+    STAGE slots per step — stream half the bytes), else compute dtype.
+    stage_k_scale/stage_v_scale: (L, STAGE, B, H) bf16, or None.
+    cross_k/cross_v: (L, B, S, H*D) — description keys/values, filled at
+    prefill, read-only afterwards.  Heads are folded into the minor dim so
+    the (8, 128)-tile minor axis is exactly full: a (..., S, D=64) minor pads
+    64 lanes to 128 and doubles the per-step read of these loop-invariant
+    buffers (measured ~0.5 ms/step at Mini batch-32 in bf16).  Same int8
+    storage rule as self_k/self_v.
+    cross_k_scale/cross_v_scale: (L, B, H, S) bf16, or None.
     index: scalar int32 — number of fused positions already written.
     flushed: scalar int32 — positions materialized in self_k/self_v
     (``index - flushed`` positions live in the stage buffers).
@@ -117,8 +130,12 @@ class KVCache(NamedTuple):
     self_v_scale: jnp.ndarray | None
     stage_k: jnp.ndarray
     stage_v: jnp.ndarray
+    stage_k_scale: jnp.ndarray | None
+    stage_v_scale: jnp.ndarray | None
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
+    cross_k_scale: jnp.ndarray | None
+    cross_v_scale: jnp.ndarray | None
     index: jnp.ndarray
     flushed: jnp.ndarray
 
@@ -140,12 +157,16 @@ def init_cache(
     return KVCache(
         self_k=jnp.zeros((l, batch, h, d, max_len), store),
         self_v=jnp.zeros((l, batch, h, d, max_len), store),
-        self_k_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
-        self_v_scale=jnp.zeros((l, batch, h, max_len), jnp.float32) if quant else None,
-        stage_k=jnp.zeros((l, STAGE, batch, h, d), dtype),
-        stage_v=jnp.zeros((l, STAGE, batch, h, d), dtype),
-        cross_k=jnp.zeros((l, batch, h, enc_len, d), dtype),
-        cross_v=jnp.zeros((l, batch, h, enc_len, d), dtype),
+        self_k_scale=jnp.zeros((l, batch, h, max_len), jnp.bfloat16) if quant else None,
+        self_v_scale=jnp.zeros((l, batch, h, max_len), jnp.bfloat16) if quant else None,
+        stage_k=jnp.zeros((l, STAGE, batch, h, d), store),
+        stage_v=jnp.zeros((l, STAGE, batch, h, d), store),
+        stage_k_scale=jnp.zeros((l, STAGE, batch, h), jnp.bfloat16) if quant else None,
+        stage_v_scale=jnp.zeros((l, STAGE, batch, h), jnp.bfloat16) if quant else None,
+        cross_k=jnp.zeros((l, batch, enc_len, h * d), store),
+        cross_v=jnp.zeros((l, batch, enc_len, h * d), store),
+        cross_k_scale=jnp.zeros((l, batch, h, enc_len), jnp.bfloat16) if quant else None,
+        cross_v_scale=jnp.zeros((l, batch, h, enc_len), jnp.bfloat16) if quant else None,
         index=jnp.zeros((), jnp.int32),
         flushed=jnp.zeros((), jnp.int32),
     )
@@ -154,13 +175,28 @@ def init_cache(
 def _store_kv(values: jnp.ndarray, cache_buf: jnp.ndarray):
     """Convert freshly-computed K/V (L, B, H, t, D) to the cache's storage
     format — (D, T)-transposed, int8-quantized when the cache is int8:
-    (stored values (L, B, H, D, t), scales (L, B, H, t)-or-None)."""
+    (stored values (L, B, H, D, t), scales (L, B, H, t) bf16-or-None)."""
     if cache_buf.dtype == jnp.int8:
         from parler_tts_tpu.ops.quantization import quantize_kv
 
         q, scale = quantize_kv(values)
-        return jnp.swapaxes(q, -1, -2), scale
+        return jnp.swapaxes(q, -1, -2), scale.astype(jnp.bfloat16)
     return jnp.swapaxes(values.astype(cache_buf.dtype), -1, -2), None
+
+
+def _store_cross(values: jnp.ndarray, cache_buf: jnp.ndarray):
+    """Convert prefill-computed cross K/V (L, B, H, S, D) to the cache's
+    packed head-folded format: (stored (L, B, S, H*D), scales (L, B, H, S)
+    bf16-or-None).  See :class:`KVCache` for the layout rationale."""
+    l, b, h, s, d = values.shape
+    if cache_buf.dtype == jnp.int8:
+        from parler_tts_tpu.ops.quantization import quantize_kv
+
+        q, scale = quantize_kv(values)
+        packed = jnp.transpose(q, (0, 1, 3, 2, 4)).reshape(l, b, s, h * d)
+        return packed, scale.astype(jnp.bfloat16)
+    packed = jnp.transpose(values.astype(cache_buf.dtype), (0, 1, 3, 2, 4))
+    return packed.reshape(l, b, s, h * d), None
 
 
 def flush_stage(cache: KVCache) -> KVCache:
@@ -172,21 +208,35 @@ def flush_stage(cache: KVCache) -> KVCache:
     (a) invisible to attention (reads mask ``< flushed``) and (b) overwritten
     by the next flush; ``init_cache`` over-allocates T by STAGE so a partial
     tail flush never clamps into valid positions.  Safe to call with an empty
-    stage (no-op apart from the masked garbage write)."""
-    fk, fk_sc = _store_kv(jnp.moveaxis(cache.stage_k, 1, 3), cache.self_k)
-    fv, fv_sc = _store_kv(jnp.moveaxis(cache.stage_v, 1, 3), cache.self_v)
+    stage (no-op apart from the masked garbage write).
+
+    The stage is already in storage dtype (quantized at append), so the
+    flush is a pure transpose + bulk write."""
+
+    def to_main(slab):  # (L, S, B, H, D) -> (L, B, H, D, S)
+        return jnp.swapaxes(jnp.moveaxis(slab, 1, 3), -1, -2)
+
+    fk, fv = to_main(cache.stage_k), to_main(cache.stage_v)
     off = cache.flushed
     return KVCache(
         lax.dynamic_update_slice(cache.self_k, fk, (0, 0, 0, 0, off)),
         lax.dynamic_update_slice(cache.self_v, fv, (0, 0, 0, 0, off)),
-        lax.dynamic_update_slice(cache.self_k_scale, fk_sc, (0, 0, 0, off))
+        lax.dynamic_update_slice(
+            cache.self_k_scale, jnp.moveaxis(cache.stage_k_scale, 1, 3), (0, 0, 0, off)
+        )
         if cache.self_k_scale is not None else None,
-        lax.dynamic_update_slice(cache.self_v_scale, fv_sc, (0, 0, 0, off))
+        lax.dynamic_update_slice(
+            cache.self_v_scale, jnp.moveaxis(cache.stage_v_scale, 1, 3), (0, 0, 0, off)
+        )
         if cache.self_v_scale is not None else None,
         cache.stage_k,
         cache.stage_v,
+        cache.stage_k_scale,
+        cache.stage_v_scale,
         cache.cross_k,
         cache.cross_v,
+        cache.cross_k_scale,
+        cache.cross_v_scale,
         cache.index,
         cache.index,
     )
@@ -304,6 +354,8 @@ def _self_attention_decode(
     past_v: jnp.ndarray,
     stage_k: jnp.ndarray,
     stage_v: jnp.ndarray,
+    stage_k_scale: jnp.ndarray | None,
+    stage_v_scale: jnp.ndarray | None,
     index: jnp.ndarray,
     flushed: jnp.ndarray,
     kv_pad_mask: jnp.ndarray | None,
@@ -315,10 +367,11 @@ def _self_attention_decode(
 
     ``past_k/past_v`` (B, H, D, T) are READ-ONLY (positions ``< flushed``
     valid); ``stage_k/stage_v`` (STAGE, B, H, D) hold the most recent
-    ``index - flushed`` positions in compute dtype; the current token's K/V
-    is an explicit extra column and is returned as the per-layer slice for
-    the caller's staged insert (see :class:`KVCache` for why writes are
-    staged).
+    ``index - flushed`` positions in storage dtype (with per-slot scales
+    ``stage_k_scale/stage_v_scale`` (STAGE, B, H) when int8); the current
+    token's K/V is an explicit extra column and is returned as the per-layer
+    slice for the caller's staged insert (see :class:`KVCache` for why
+    writes are staged).
 
     ``kv_read_limit`` (static) restricts the main-cache READ to the first
     ``kv_read_limit`` positions — valid whenever ``flushed <=
@@ -367,22 +420,30 @@ def _self_attention_decode(
     s_past = jnp.where(key_ok, s_past, NEG_INF)
 
     s_stage = jnp.einsum("bhqd,cbhd->bhqc", q, stage_k.astype(dtype), preferred_element_type=jnp.float32, precision=_precision(q))
+    if stage_k_scale is not None:
+        # (STAGE, B, H) -> (B, H, 1, STAGE) scale fold, f32 math
+        s_stage = s_stage * jnp.transpose(stage_k_scale, (1, 2, 0))[:, :, None, :].astype(jnp.float32)
     stage_ok = jnp.arange(n_stage)[None, None, None, :] < (index - flushed)
     s_stage = jnp.where(stage_ok, s_stage, NEG_INF)
 
     s_self = jnp.sum(q * k_new.astype(dtype), axis=-1, keepdims=True).astype(jnp.float32)  # (B,H,1,1)
     s_all = jnp.concatenate([s_past, s_stage, s_self], axis=-1)
-    probs = jax.nn.softmax(s_all, axis=-1).astype(dtype)
+    probs = jax.nn.softmax(s_all, axis=-1)
     probs_past = probs[..., :t_read]
     if v_scale is not None:
-        # multiply in f32 and downcast the (B,H,1,T) product — casting
-        # v_scale to bf16 instead makes XLA materialize a converted copy of
-        # the whole stacked (L,B,H,T) scale buffer every step
-        probs_past = (probs_past.astype(jnp.float32) * v_scale[:, :, None, :]).astype(dtype)
+        # multiply in f32 and downcast the (B,H,1,T) product — converting the
+        # stacked scale buffer instead makes XLA materialize a converted copy
+        # of the whole (L,B,H,T) buffer every step
+        probs_past = probs_past * v_scale[:, :, None, :].astype(jnp.float32)
+    probs_past = probs_past.astype(dtype)
+    probs_stage = probs[..., t_read : t_read + n_stage]
+    if stage_v_scale is not None:
+        probs_stage = probs_stage * jnp.transpose(stage_v_scale, (1, 2, 0))[:, :, None, :].astype(jnp.float32)
+    probs_stage = probs_stage.astype(dtype)
     out = (
         jnp.einsum("bhqk,bhdk->bhqd", probs_past, past_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
-        + jnp.einsum("bhqc,cbhd->bhqd", probs[..., t_read : t_read + n_stage], stage_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
-        + probs[..., -1:] * v_new.astype(dtype)
+        + jnp.einsum("bhqc,cbhd->bhqd", probs_stage, stage_v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
+        + probs[..., -1:].astype(dtype) * v_new.astype(dtype)
     )
     return dense(p["o"], merge_heads(out)), (k_new, v_new)
 
@@ -414,6 +475,45 @@ def _cross_attention(
         probs = dropout(attn_key, probs, cfg.attention_dropout)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype), preferred_element_type=dtype, precision=_precision(q))
     return dense(p["o"], merge_heads(out)), (k, v)
+
+
+def _cross_attention_decode(
+    p: Params,
+    cfg: DecoderConfig,
+    x: jnp.ndarray,
+    ck: jnp.ndarray,
+    cv: jnp.ndarray,
+    ck_scale: jnp.ndarray | None,
+    cv_scale: jnp.ndarray | None,
+    enc_mask: jnp.ndarray | None,
+):
+    """Single-token cross-attention over the packed (B, S, H*D) cached K/V
+    (see :class:`KVCache`).  The int8 per-(head, position) scales fold out of
+    both dots exactly as in self-attention."""
+    h_dim, d = cfg.num_attention_heads, cfg.head_dim
+    scale = d**-0.5
+    q = split_heads(dense(p["q"], x), h_dim) * scale  # (B, H, 1, D)
+    dtype = q.dtype
+    s_len = ck.shape[1]
+    k = ck.reshape(ck.shape[0], s_len, h_dim, d)
+    v = cv.reshape(cv.shape[0], s_len, h_dim, d)
+    scores = jnp.einsum(
+        "bhqd,bshd->bhqs", q, k.astype(dtype),
+        preferred_element_type=jnp.float32, precision=_precision(q),
+    )
+    if ck_scale is not None:
+        scores = scores * ck_scale[:, :, None, :].astype(jnp.float32)
+    if enc_mask is not None:
+        scores = jnp.where(enc_mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if cv_scale is not None:
+        probs = probs * cv_scale[:, :, None, :].astype(jnp.float32)
+    probs = probs.astype(dtype)
+    out = jnp.einsum(
+        "bhqs,bshd->bhqd", probs, v.astype(dtype),
+        preferred_element_type=dtype, precision=_precision(q),
+    )
+    return dense(p["o"], merge_heads(out))
 
 
 def _layer_full(
@@ -462,8 +562,12 @@ def _layer_decode(
     past_v,
     stage_k,
     stage_v,
+    stage_k_scale,
+    stage_v_scale,
     cross_k,
     cross_v,
+    cross_k_scale,
+    cross_v_scale,
     enc_mask,
     index,
     flushed,
@@ -476,13 +580,16 @@ def _layer_decode(
     act = ACTIVATIONS[cfg.activation_function]
     h = layer_norm(lp["ln_self"], x)
     attn_out, self_kv = _self_attention_decode(
-        lp["self_attn"], cfg, h, past_k, past_v, stage_k, stage_v, index, flushed,
+        lp["self_attn"], cfg, h, past_k, past_v, stage_k, stage_v,
+        stage_k_scale, stage_v_scale, index, flushed,
         kv_pad_mask, k_scale, v_scale, kv_read_limit,
     )
     x = x + attn_out
 
     h = layer_norm(lp["ln_cross"], x)
-    attn_out, _ = _cross_attention(lp["cross_attn"], cfg, h, None, enc_mask, (cross_k, cross_v))
+    attn_out = _cross_attention_decode(
+        lp["cross_attn"], cfg, h, cross_k, cross_v, cross_k_scale, cross_v_scale, enc_mask
+    )
     x = x + attn_out
 
     h = layer_norm(lp["ln_ffn"], x)
@@ -615,6 +722,8 @@ def forward(
         x, (ks, vs, cks, cvs) = lax.scan(scan_body, x, layers)
         ks, k_scales = _store_kv(ks, cache.self_k)
         vs, v_scales = _store_kv(vs, cache.self_v)
+        cks, ck_scales = _store_cross(cks, cache.cross_k)
+        cvs, cv_scales = _store_cross(cvs, cache.cross_v)
         new_cache = KVCache(
             lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, 0, 0)),
             lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, 0, 0)),
@@ -624,17 +733,21 @@ def forward(
             if v_scales is not None else None,
             cache.stage_k,
             cache.stage_v,
-            cks.astype(cache.cross_k.dtype),
-            cvs.astype(cache.cross_v.dtype),
+            cache.stage_k_scale,
+            cache.stage_v_scale,
+            cks,
+            cvs,
+            ck_scales,
+            cv_scales,
             past_len + t_fused,
             past_len + t_fused,
         )
     else:
         def scan_body(x, s):
-            lp, sk, sv, ksc, vsc, stk, stv, ck, cv = s
+            lp, sk, sv, ksc, vsc, stk, stv, stksc, stvsc, ck, cv, cksc, cvsc = s
             x, self_kv = _layer_decode(
-                lp, cfg, x, sk, sv, stk, stv, ck, cv, enc_mask, past_len,
-                cache.flushed, kv_pad_mask,
+                lp, cfg, x, sk, sv, stk, stv, stksc, stvsc, ck, cv, cksc, cvsc,
+                enc_mask, past_len, cache.flushed, kv_pad_mask,
                 k_scale=ksc, v_scale=vsc, kv_read_limit=kv_read_limit,
             )
             return x, (self_kv[0], self_kv[1])
@@ -644,11 +757,27 @@ def forward(
             x,
             (layers, cache.self_k, cache.self_v, cache.self_k_scale,
              cache.self_v_scale, cache.stage_k, cache.stage_v,
-             cache.cross_k, cache.cross_v),
+             cache.stage_k_scale, cache.stage_v_scale,
+             cache.cross_k, cache.cross_v, cache.cross_k_scale,
+             cache.cross_v_scale),
         )
-        # append the new position to the stage slab (cheap contiguous write;
-        # see KVCache docstring)
+        # append the new position to the stage slab (cheap leading-dim write;
+        # see KVCache docstring), quantizing at append when the cache is int8
         slot = past_len - cache.flushed  # 0..STAGE-1
+        stage_k_scale, stage_v_scale = cache.stage_k_scale, cache.stage_v_scale
+        if cache.stage_k.dtype == jnp.int8:
+            from parler_tts_tpu.ops.quantization import quantize_kv
+
+            ks, ks_sc = quantize_kv(ks)  # (L,B,H,1,D) int8, (L,B,H,1) f32
+            vs, vs_sc = quantize_kv(vs)
+            stage_k_scale = lax.dynamic_update_slice(
+                stage_k_scale, jnp.moveaxis(ks_sc.astype(jnp.bfloat16), 3, 1),
+                (0, slot, 0, 0),
+            )
+            stage_v_scale = lax.dynamic_update_slice(
+                stage_v_scale, jnp.moveaxis(vs_sc.astype(jnp.bfloat16), 3, 1),
+                (0, slot, 0, 0),
+            )
         stage_k = lax.dynamic_update_slice(
             cache.stage_k, jnp.moveaxis(ks, 3, 1).astype(cache.stage_k.dtype),
             (0, slot, 0, 0, 0),
@@ -659,7 +788,9 @@ def forward(
         )
         new_cache = KVCache(
             cache.self_k, cache.self_v, cache.self_k_scale, cache.self_v_scale,
-            stage_k, stage_v, cache.cross_k, cache.cross_v, past_len + 1,
+            stage_k, stage_v, stage_k_scale, stage_v_scale,
+            cache.cross_k, cache.cross_v,
+            cache.cross_k_scale, cache.cross_v_scale, past_len + 1,
             cache.flushed,
         )
         if auto_flush:

@@ -92,6 +92,7 @@ def test_int8_kv_decode_matches_fp_within_tolerance():
     # T + STAGE: init_cache over-allocates so partial stage flushes never clamp
     assert cache8.self_k_scale is not None
     assert cache8.self_k_scale.shape == (LAYERS, B, 4, T + jdec.STAGE)
+    assert cache8.self_k_scale.dtype == jnp.bfloat16
     rel = float(jnp.max(jnp.abs(q8 - fp)) / jnp.max(jnp.abs(fp)))
     assert rel < 5e-2, rel
 
