@@ -93,7 +93,15 @@ def run_bench(batch: int, seconds: float):
 
     cfg = mini_600m_config()
     frames = int(seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
-    gen = GenerationConfig(max_length=frames, do_sample=True, temperature=1.0, top_k=50)
+    # int8 KV cache + int8 weight-only decode matmuls: the production decode
+    # path (~0.9x step time vs bf16, half the HBM footprint; exact scale
+    # folding, logits within ~5e-2 relative of fp — see ops/quantization.py).
+    # BENCH_INT8=0 reverts to the bf16 compatibility path.
+    use_int8 = os.environ.get("BENCH_INT8", "1") != "0"
+    gen = GenerationConfig(
+        max_length=frames, do_sample=True, temperature=1.0, top_k=50,
+        kv_cache_dtype="int8" if use_int8 else None, int8_weights=use_int8,
+    )
 
     print(f"backend: {jax.default_backend()} devices={jax.devices()} "
           f"compilation_cache={cache_dir}", file=sys.stderr)
@@ -151,7 +159,10 @@ def run_bench(batch: int, seconds: float):
         # BASELINE config 1: single utterance, greedy, vocoded — measured
         try:
             lat_frames = int(10.0 * cfg.frame_rate) + cfg.decoder.num_codebooks
-            lat_gen = GenerationConfig(max_length=lat_frames, do_sample=False)
+            lat_gen = GenerationConfig(
+                max_length=lat_frames, do_sample=False,
+                kv_cache_dtype="int8" if use_int8 else None, int8_weights=use_int8,
+            )
             lat_inputs = _make_inputs(rng, 1)
 
             @jax.jit
