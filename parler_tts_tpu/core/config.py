@@ -220,7 +220,10 @@ class GenerationConfig:
     # bucket, statically slicing attention reads to the bucket so HBM traffic
     # scales with generated length instead of max_length.  Value = max number
     # of buckets (compile cost is one loop body per bucket); <= 1 disables.
-    kv_read_buckets: int = 8
+    # Default 1: with the int8 time-minor cache, v5e measurements show
+    # bucketing strictly loses (10 s: 4.9 ms/step@1 vs 5.7@8; 30 s: 10.1@1 vs
+    # 14.9@8 — see PERFORMANCE.md); kept as an option for fp16/bf16 caches.
+    kv_read_buckets: int = 1
 
     to_dict = _asdict
     from_dict = classmethod(_fromdict)
