@@ -240,8 +240,11 @@ def generate_tokens(
             main = s.cache  # big buffers: closure constants for the scan
 
             def masked_step(inner, _):
-                t, tokens, finished, stage_k, stage_v, index, logits = inner
-                cache = main._replace(stage_k=stage_k, stage_v=stage_v, index=index)
+                t, tokens, finished, stage_k, stage_v, stage_ks, stage_vs, index, logits = inner
+                cache = main._replace(
+                    stage_k=stage_k, stage_v=stage_v,
+                    stage_k_scale=stage_ks, stage_v_scale=stage_vs, index=index,
+                )
                 s2 = step(DecodeState(t, tokens, finished, cache, logits, s.key))
                 pred = (t < t_hi) & ~jnp.all(finished)
                 keep = lambda new, old: jnp.where(pred, new, old)
@@ -251,16 +254,20 @@ def generate_tokens(
                     keep(s2.finished, finished),
                     s2.cache.stage_k,
                     s2.cache.stage_v,
+                    s2.cache.stage_k_scale,
+                    s2.cache.stage_v_scale,
                     keep(s2.cache.index, index),
                     keep(s2.logits, logits),
                 ), None
 
             inner0 = (s.t, s.tokens, s.finished, main.stage_k, main.stage_v,
-                      main.index, s.logits)
-            (t, tokens, finished, stage_k, stage_v, index, logits), _ = lax.scan(
-                masked_step, inner0, None, length=decoder_mod.STAGE
+                      main.stage_k_scale, main.stage_v_scale, main.index, s.logits)
+            (t, tokens, finished, stage_k, stage_v, stage_ks, stage_vs, index,
+             logits), _ = lax.scan(masked_step, inner0, None, length=decoder_mod.STAGE)
+            cache = main._replace(
+                stage_k=stage_k, stage_v=stage_v,
+                stage_k_scale=stage_ks, stage_v_scale=stage_vs, index=index,
             )
-            cache = main._replace(stage_k=stage_k, stage_v=stage_v, index=index)
             return DecodeState(
                 t, tokens, finished, decoder_mod.flush_stage(cache), logits, s.key
             )

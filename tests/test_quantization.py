@@ -113,6 +113,27 @@ def test_int8_weights_decode_params():
     assert err < 2e-2, err
 
 
+def _composite_cfg():
+    from parler_tts_tpu.core.config import (
+        DACConfig, ParlerTTSConfig, T5EncoderConfig,
+    )
+
+    return ParlerTTSConfig(
+        vocab_size=120,
+        text_encoder=T5EncoderConfig(
+            vocab_size=120, d_model=24, d_kv=6, d_ff=48, num_layers=2, num_heads=4,
+            relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        ),
+        audio_encoder=DACConfig(
+            num_codebooks=K, codebook_size=32, codebook_dim=4, latent_dim=16,
+            encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=16,
+            upsampling_ratios=(4, 2), sampling_rate=16000,
+        ),
+        decoder=dataclasses.replace(make_cfg(), vocab_size=34, pad_token_id=32,
+                                    eos_token_id=32, bos_token_id=33),
+    )
+
+
 def test_generate_int8_end_to_end():
     """Full engine with int8 cache + int8 weights: runs, finite, and the
     forced delay-pattern structure (BOS/PAD forcing) is preserved."""
@@ -155,3 +176,81 @@ def test_generate_int8_end_to_end():
     for k in range(K):
         assert (tokens[:, k, : k + 1] == 33).all()
     assert (tokens < 34).all() and (tokens >= 0).all()
+
+
+@__import__("pytest").mark.parametrize("kv_dtype", [None, "int8"])
+def test_engine_matches_stepwise_forward(kv_dtype):
+    """The hot-loop engine (segmented masked scan + staged KV flushes,
+    generate.py) must produce EXACTLY the tokens of the simple step-by-step
+    ``forward(auto_flush=True)`` API.  Regression for the segment scan
+    dropping the int8 stage-scale slabs from its carry (stale scales fed to
+    attention + flushed into the main cache)."""
+    from jax import lax
+
+    from parler_tts_tpu.core.config import GenerationConfig
+    from parler_tts_tpu.generation import generate as G
+    from parler_tts_tpu.generation import sampling
+    from parler_tts_tpu.models import parler
+    from parler_tts_tpu.models.delay_pattern import build_delay_pattern
+
+    cfg = _composite_cfg()
+    dcfg = cfg.decoder
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
+    gen = GenerationConfig(
+        max_length=40, do_sample=False, decoder_start_token_id=33,
+        pad_token_id=32, bos_token_id=33, eos_token_id=32,
+        kv_cache_dtype=kv_dtype, int8_weights=False,
+    )
+    rng = np.random.default_rng(7)
+    input_ids = jnp.asarray(rng.integers(0, 120, (2, 6)), jnp.int32)
+    prompt_ids = jnp.asarray(rng.integers(0, 120, (2, 4)), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    engine_tokens, _ = G.generate_tokens(
+        params, cfg, gen, input_ids=input_ids, prompt_input_ids=prompt_ids, key=key,
+    )
+
+    # --- hand-rolled reference loop over the simple forward() API ---
+    b, num_codebooks = 2, dcfg.num_codebooks
+    attn_mask = jnp.ones(input_ids.shape, jnp.int32)
+    enc_hidden = parler.encode_text(params, cfg, input_ids, attn_mask)
+    prompt_hidden = parler.embed_prompts(params, prompt_ids)
+    start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
+    _, pattern, t0 = build_delay_pattern(
+        start_ids, bos_token_id=gen.bos_token_id, pad_token_id=gen.pad_token_id,
+        max_length=gen.max_length,
+    )
+    tokens = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+    p_len = prompt_hidden.shape[1]
+    cache = jdec.init_cache(
+        dcfg, b, p_len + gen.max_length, enc_hidden.shape[1], kv_dtype=kv_dtype,
+    )
+    fused_mask = jnp.ones((b, p_len + gen.max_length), jnp.int32)
+    hidden, cache = jdec.forward(
+        params["decoder"], dcfg, tokens[:, :, :t0],
+        prompt_hidden_states=prompt_hidden, encoder_hidden_states=enc_hidden,
+        encoder_attention_mask=attn_mask, attention_mask=fused_mask,
+        cache=cache, prefill=True,
+    )
+    logits = jdec.logits(params["decoder"], hidden, num_labels=1)[:, :, 0]
+    decode_params = jdec.prepare_decode_params(params["decoder"], int8=False)
+    finished = jnp.zeros((b, num_codebooks), bool)
+    for t in range(t0, gen.max_length):
+        step_key = jax.random.fold_in(key, t)
+        l = sampling.process_logits(logits, gen)
+        sampled = sampling.select_tokens(step_key, l, gen).astype(jnp.int32)
+        sampled = jnp.where(finished, gen.pad_token_id, sampled)
+        forced = tokens[:, :, t]
+        pat_t = pattern[:, :, t]
+        token_t = jnp.where(pat_t == -1, sampled, forced)
+        finished = finished | (token_t == gen.eos_token_id)
+        tokens = lax.dynamic_update_slice(tokens, token_t[:, :, None], (0, 0, t))
+        if bool(jnp.all(finished)):
+            break
+        hidden, cache = jdec.forward(
+            decode_params, dcfg, token_t[:, :, None],
+            encoder_attention_mask=attn_mask, attention_mask=fused_mask, cache=cache,
+        )
+        logits = jdec.logits(decode_params, hidden, num_labels=1)[:, :, 0]
+
+    np.testing.assert_array_equal(np.asarray(engine_tokens), np.asarray(tokens))
