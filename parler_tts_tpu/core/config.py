@@ -216,14 +216,16 @@ class GenerationConfig:
     # latency.  Both use exact scale folding (ops/quantization.py).
     kv_cache_dtype: str | None = None  # None = compute dtype, or "int8"
     int8_weights: bool = False
-    # Bucketed KV reads: the decode loop runs one while_loop per length
-    # bucket, statically slicing attention reads to the bucket so HBM traffic
-    # scales with generated length instead of max_length.  Value = max number
-    # of buckets (compile cost is one loop body per bucket); <= 1 disables.
-    # Default 1: with the int8 time-minor cache, v5e measurements show
-    # bucketing strictly loses (10 s: 4.9 ms/step@1 vs 5.7@8; 30 s: 10.1@1 vs
-    # 14.9@8 — see PERFORMANCE.md); kept as an option for fp16/bf16 caches.
-    kv_read_buckets: int = 1
+    # Growing-buffer KV length buckets: the decode loop runs one while_loop
+    # per length bucket with the cache buffers PHYSICALLY sized to the bucket
+    # (zero-padded at each transition), so attention HBM traffic scales with
+    # generated length instead of max_length.  Value = max number of buckets
+    # (compile cost is one loop body per bucket); <= 1 disables.  v5e, int8
+    # cache, Mini batch 32: 10 s 4.48 ms/step@8 vs 4.77@1, 30 s 7.16@8 vs
+    # 10.07@1, 3 s neutral (see PERFORMANCE.md).  (An earlier design that
+    # statically SLICED reads from a full-size buffer lost across the board —
+    # XLA materializes minor-axis slices per step.)
+    kv_read_buckets: int = 8
 
     to_dict = _asdict
     from_dict = classmethod(_fromdict)

@@ -125,8 +125,13 @@ def generate_tokens(
     # --- prefill: prompt + start frame ---
     rows = 2 * b if use_cfg else b
     p_len = prompt_hidden.shape[1]
+    # growing-buffer length buckets: the cache is allocated at the first
+    # bucket's fused length and zero-padded (grow_cache) at each bucket
+    # transition, so attention reads a dense buffer sized to the current
+    # generated length (see the loop-nest comment below)
+    bucket_sizes = _kv_read_limits(p_len + t0, p_len + max_length, gen.kv_read_buckets)
     cache = decoder_mod.init_cache(
-        dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype,
+        dcfg, rows, bucket_sizes[0], enc_hidden.shape[1], dtype=dtype,
         kv_dtype=gen.kv_cache_dtype,
     )
     # one static fused mask covering prompt padding + all decode positions;
@@ -174,7 +179,7 @@ def generate_tokens(
 
         return cond
 
-    def make_body(kv_limit: int | None):
+    def make_body():
         def body(s: DecodeState) -> DecodeState:
             step_key = jax.random.fold_in(s.key, s.t)
             logits = s.logits
@@ -202,7 +207,6 @@ def generate_tokens(
                 encoder_attention_mask=enc_mask,
                 attention_mask=fused_mask,
                 cache=s.cache,
-                kv_read_limit=kv_limit,
                 auto_flush=False,
                 dtype=dtype,
             )
@@ -212,13 +216,16 @@ def generate_tokens(
         return body
 
     # Loop nest, outer to inner:
-    # * one Python-level loop per KV-length bucket — the loop for bucket
-    #   limit L only runs steps whose attention READ region (p_len + t
-    #   positions) fits in L, and statically slices cache reads to L, so
-    #   average attention HBM traffic scales with generated length, not
-    #   max_length.  State flows from one bucket into the next; a bucket
-    #   whose range is already past (or where every stream is finished)
-    #   exits immediately on its condition.
+    # * one Python-level loop per KV-length bucket — the cache's self-KV
+    #   buffers are PHYSICALLY sized to the bucket and zero-padded
+    #   (grow_cache) at each transition, so every step reads a dense buffer
+    #   and average attention HBM traffic scales with generated length, not
+    #   max_length.  (The previous design kept one full-size buffer and
+    #   statically sliced reads per bucket; the minor-axis slice made XLA
+    #   materialize the sliced operand every step — measured slower than no
+    #   bucketing at all.)  State flows from one bucket into the next; a
+    #   bucket whose range is already past (or where every stream is
+    #   finished) exits immediately on its condition.
     # * a single while_loop over STAGE-step segments: each body is a
     #   static-length ``lax.scan`` of STAGE decode steps whose carry holds
     #   ONLY the small mutable state (t, tokens, finished, stage slabs,
@@ -233,8 +240,8 @@ def generate_tokens(
     #   stage-slab garbage lands in a slot that is either rewritten by the
     #   next real step or masked out of attention reads (slot = index -
     #   flushed doesn't advance when masked).
-    def make_segment_body(t_hi: int, kv_limit: int | None):
-        step = make_body(kv_limit)
+    def make_segment_body(t_hi: int):
+        step = make_body()
 
         def segment_body(s: DecodeState) -> DecodeState:
             main = s.cache  # big buffers: closure constants for the scan
@@ -274,20 +281,18 @@ def generate_tokens(
 
         return segment_body
 
-    t_fused_max = p_len + max_length
     final = state
-    for kv_limit in _kv_read_limits(p_len + t0, t_fused_max, gen.kv_read_buckets):
-        t_hi = min(max_length, kv_limit - p_len + 1)
-        limit = None if kv_limit >= t_fused_max else kv_limit
-        final = lax.while_loop(
-            make_cond(t_hi), make_segment_body(t_hi, limit), final
-        )
+    for size in bucket_sizes:
+        final = final._replace(cache=decoder_mod.grow_cache(final.cache, size))
+        t_hi = min(max_length, size - p_len)
+        final = lax.while_loop(make_cond(t_hi), make_segment_body(t_hi), final)
     return final.tokens, final.t
 
 
 def _kv_read_limits(min_limit: int, t_fused_max: int, max_buckets: int) -> list[int]:
-    """Static KV read-length buckets: multiples of 128, at most
-    ``max_buckets`` of them, last one = ``t_fused_max``."""
+    """Static KV-buffer length buckets (growing-buffer decode): multiples of
+    128, at most ``max_buckets`` of them, last one = ``t_fused_max``; the
+    first is >= ``min_limit`` so the prefill always fits."""
     if max_buckets <= 1 or t_fused_max <= 256:
         return [t_fused_max]
     step = max(256, -(-t_fused_max // max_buckets // 128) * 128)

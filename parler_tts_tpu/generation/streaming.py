@@ -42,6 +42,9 @@ from parler_tts_tpu.ops.nn import Params
 
 DEFAULT_LOOKBACK = 48  # frames; > DAC decoder receptive field
 
+# on-device cache growth between chunks (one compiled pad per shape pair)
+_grow_cache_jit = jax.jit(decoder_mod.grow_cache, static_argnums=1)
+
 
 class StreamChunk(NamedTuple):
     audio: np.ndarray  # (B, chunk_samples) new samples
@@ -94,8 +97,15 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         tokens = jnp.where(pattern == -1, gen.pad_token_id, pattern)
         rows = 2 * b if use_cfg else b
         p_len = prompt_hidden.shape[1]
+        # growing-buffer length buckets (see generate.py): allocate at the
+        # first bucket size; stream_generate grows the cache between chunks
+        from parler_tts_tpu.generation.generate import _kv_read_limits
+
+        bucket_sizes = _kv_read_limits(
+            p_len + 1 + audio_prompt_frames, p_len + max_length, gen.kv_read_buckets
+        )
         cache = decoder_mod.init_cache(
-            dcfg, rows, p_len + max_length, enc_hidden.shape[1], dtype=dtype,
+            dcfg, rows, bucket_sizes[0], enc_hidden.shape[1], dtype=dtype,
             kv_dtype=gen.kv_cache_dtype,
         )
         fused_mask = jnp.concatenate(
@@ -114,12 +124,12 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         )
         return state, pattern, enc_mask, fused_mask
 
-    # kv_read_limit is static: one compiled variant per KV length bucket
-    # (reused across streams via the jit + persistent compilation caches);
-    # attention reads scale with the chunk's end position, not max_length
-    @functools.partial(jax.jit, static_argnames=("kv_read_limit",))
-    def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask,
-                  kv_read_limit=None):
+    # one compiled variant per KV-buffer bucket size (the cache shape keys
+    # the jit cache, reused across streams via the jit + persistent
+    # compilation caches); attention reads scale with the chunk's end
+    # position, not max_length
+    @jax.jit
+    def run_chunk(params, s: DecodeState, end, pattern, enc_mask, fused_mask):
         decode_params = decoder_mod.prepare_decode_params(
             params["decoder"], int8=gen.int8_weights
         )
@@ -142,7 +152,7 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
             hidden, new_cache = decoder_mod.forward(
                 decode_params, dcfg, _decoder_rows(token_t[:, :, None], use_cfg),
                 encoder_attention_mask=enc_mask, attention_mask=fused_mask,
-                cache=s.cache, kv_read_limit=kv_read_limit, auto_flush=False,
+                cache=s.cache, auto_flush=False,
                 dtype=dtype,
             )
             new_logits = decoder_mod.logits(decode_params, hidden, num_labels=1)[:, :, 0]
@@ -261,17 +271,20 @@ def stream_generate(
     t_fused_max = p_len + max_length
     from parler_tts_tpu.generation.generate import _kv_read_limits
 
-    kv_limits = _kv_read_limits(p_len + 1, t_fused_max, gen.kv_read_buckets)
+    bucket_sizes = _kv_read_limits(
+        p_len + 1 + audio_prompt_frames, t_fused_max, gen.kv_read_buckets
+    )
     t = int(state.t)
     emitted_frames = 0
     while True:
         end = min(t + chunk_frames, max_length)
-        # smallest bucket covering every read in this chunk (reads reach
-        # position p_len + end - 1 at most); None = full buffer
-        kv_lim = next(l for l in kv_limits if l >= p_len + end)
+        # smallest buffer bucket covering this chunk's writes (index reaches
+        # p_len + end); grow the cache on-device before entering the chunk
+        size = next(l for l in bucket_sizes if l >= p_len + end)
+        if state.cache.self_k.shape[4] < size + decoder_mod.STAGE:
+            state = state._replace(cache=_grow_cache_jit(state.cache, size))
         state, codes_dev = run_chunk(
             params, state, jnp.asarray(end, jnp.int32), pattern, enc_mask, fused_mask,
-            kv_read_limit=None if kv_lim >= t_fused_max else kv_lim,
         )
         t_now = int(state.t)  # forces chunk completion (host sync point)
         done = bool(np.asarray(jnp.all(state.finished))) or t_now >= max_length

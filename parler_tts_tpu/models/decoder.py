@@ -112,12 +112,18 @@ class KVCache(NamedTuple):
     scales when ``kv_dtype="int8"`` (quantized at append, so stage reads —
     STAGE slots per step — stream half the bytes), else compute dtype.
     stage_k_scale/stage_v_scale: (L, STAGE, B, H) bf16, or None.
-    cross_k/cross_v: (L, B, S, H*D) — description keys/values, filled at
-    prefill, read-only afterwards.  Heads are folded into the minor dim so
-    the (8, 128)-tile minor axis is exactly full: a (..., S, D=64) minor pads
-    64 lanes to 128 and doubles the per-step read of these loop-invariant
-    buffers (measured ~0.5 ms/step at Mini batch-32 in bf16).  Same int8
-    storage rule as self_k/self_v.
+    cross_k/cross_v: (L, B, H, S, D) — description keys/values, filled at
+    prefill, read-only afterwards.  This is the *dot-native* layout: the
+    decode-step score and value einsums consume it with zero physical
+    relayout.  Two alternatives were measured at Mini batch-32 and lost:
+    (a) head-folded (L, B, S, H*D) packs the minor tile densely but the
+    head-split einsums make XLA materialize per-step transposes + a
+    dequantized copy (~0.7 ms/step); (b) computing block-diagonal
+    multiply-reduces directly on the packed layout does not fuse — XLA
+    materializes the reshape/broadcast intermediates (~0.9 ms/step).  The
+    (..., S, D=64) minor half-fills the 128-lane tile, but on these small
+    read-only buffers (int8) the padding costs far less than any per-step
+    relayout.  Same int8 storage rule as self_k/self_v.
     cross_k_scale/cross_v_scale: (L, B, H, S) bf16, or None.
     index: scalar int32 — number of fused positions already written.
     flushed: scalar int32 — positions materialized in self_k/self_v
@@ -163,8 +169,8 @@ def init_cache(
         stage_v=jnp.zeros((l, STAGE, batch, h, d), store),
         stage_k_scale=jnp.zeros((l, STAGE, batch, h), jnp.bfloat16) if quant else None,
         stage_v_scale=jnp.zeros((l, STAGE, batch, h), jnp.bfloat16) if quant else None,
-        cross_k=jnp.zeros((l, batch, enc_len, h * d), store),
-        cross_v=jnp.zeros((l, batch, enc_len, h * d), store),
+        cross_k=jnp.zeros((l, batch, h, enc_len, d), store),
+        cross_v=jnp.zeros((l, batch, h, enc_len, d), store),
         cross_k_scale=jnp.zeros((l, batch, h, enc_len), jnp.bfloat16) if quant else None,
         cross_v_scale=jnp.zeros((l, batch, h, enc_len), jnp.bfloat16) if quant else None,
         index=jnp.zeros((), jnp.int32),
@@ -186,17 +192,15 @@ def _store_kv(values: jnp.ndarray, cache_buf: jnp.ndarray):
 
 def _store_cross(values: jnp.ndarray, cache_buf: jnp.ndarray):
     """Convert prefill-computed cross K/V (L, B, H, S, D) to the cache's
-    packed head-folded format: (stored (L, B, S, H*D), scales (L, B, H, S)
-    bf16-or-None).  See :class:`KVCache` for the layout rationale."""
-    l, b, h, s, d = values.shape
+    storage: the layout already matches (see :class:`KVCache`), so this is
+    pure dtype conversion — (stored (L, B, H, S, D), scales (L, B, H, S)
+    bf16-or-None)."""
     if cache_buf.dtype == jnp.int8:
         from parler_tts_tpu.ops.quantization import quantize_kv
 
         q, scale = quantize_kv(values)
-        packed = jnp.transpose(q, (0, 1, 3, 2, 4)).reshape(l, b, s, h * d)
-        return packed, scale.astype(jnp.bfloat16)
-    packed = jnp.transpose(values.astype(cache_buf.dtype), (0, 1, 3, 2, 4))
-    return packed.reshape(l, b, s, h * d), None
+        return q, scale.astype(jnp.bfloat16)
+    return values.astype(cache_buf.dtype), None
 
 
 def flush_stage(cache: KVCache) -> KVCache:
@@ -239,6 +243,32 @@ def flush_stage(cache: KVCache) -> KVCache:
         cache.cross_v_scale,
         cache.index,
         cache.index,
+    )
+
+
+def grow_cache(cache: KVCache, new_max_len: int) -> KVCache:
+    """Zero-pad the self-attention buffers' time axis to ``new_max_len`` (+
+    the STAGE slack, matching :func:`init_cache`).  Used by the decode loop's
+    *growing-buffer* length bucketing: the cache starts at the first bucket
+    size and is padded once per bucket transition, so every decode step reads
+    a dense buffer sized to the current bucket — attention HBM traffic scales
+    with generated length with no per-step slicing (a static ``slice_in_dim``
+    on the minor time axis makes XLA materialize the sliced operand every
+    step — measured slower than reading the full buffer).  The padded region
+    is garbage-safe: reads mask positions ``>= flushed``."""
+    new_t = new_max_len + STAGE
+    grow = new_t - cache.self_k.shape[4]
+    if grow <= 0:
+        return cache
+    pad5 = ((0, 0), (0, 0), (0, 0), (0, 0), (0, grow))
+    pad4 = ((0, 0), (0, 0), (0, 0), (0, grow))
+    return cache._replace(
+        self_k=jnp.pad(cache.self_k, pad5),
+        self_v=jnp.pad(cache.self_v, pad5),
+        self_k_scale=jnp.pad(cache.self_k_scale, pad4)
+        if cache.self_k_scale is not None else None,
+        self_v_scale=jnp.pad(cache.self_v_scale, pad4)
+        if cache.self_v_scale is not None else None,
     )
 
 
@@ -361,7 +391,6 @@ def _self_attention_decode(
     kv_pad_mask: jnp.ndarray | None,
     k_scale: jnp.ndarray | None = None,
     v_scale: jnp.ndarray | None = None,
-    kv_read_limit: int | None = None,
 ):
     """Single-token cached decode over [main cache | stage | current token].
 
@@ -373,24 +402,14 @@ def _self_attention_decode(
     slice for the caller's staged insert (see :class:`KVCache` for why
     writes are staged).
 
-    ``kv_read_limit`` (static) restricts the main-cache READ to the first
-    ``kv_read_limit`` positions — valid whenever ``flushed <=
-    kv_read_limit``.  The static prefix slice on the minor (time) axis fuses
-    into the dot read, so HBM traffic scales with the bucketed length
-    instead of the full buffer (the decode loop in ``generation/generate.py``
-    runs one ``while_loop`` per bucket).
+    The whole T axis of ``past_k/past_v`` is read every step; HBM traffic
+    scales with generated length because the *buffer itself* is sized to the
+    current length bucket (``grow_cache``) — a static read-limit slice on
+    the minor time axis was measured slower (XLA materializes the sliced
+    operand per step).
 
     Returns (out, (k_new, v_new)) with k_new/v_new (B, H, 1, D).
     """
-    if kv_read_limit is not None and kv_read_limit < past_k.shape[3]:
-        past_k = lax.slice_in_dim(past_k, 0, kv_read_limit, axis=3)
-        past_v = lax.slice_in_dim(past_v, 0, kv_read_limit, axis=3)
-        if k_scale is not None:
-            k_scale = lax.slice_in_dim(k_scale, 0, kv_read_limit, axis=2)
-        if v_scale is not None:
-            v_scale = lax.slice_in_dim(v_scale, 0, kv_read_limit, axis=2)
-        if kv_pad_mask is not None:
-            kv_pad_mask = lax.slice_in_dim(kv_pad_mask, 0, kv_read_limit, axis=1)
     scale = cfg.head_dim**-0.5
     if "qkv" in p:
         # fused projection (prepare_decode_params): one (H, 3H) matmul
@@ -487,18 +506,16 @@ def _cross_attention_decode(
     cv_scale: jnp.ndarray | None,
     enc_mask: jnp.ndarray | None,
 ):
-    """Single-token cross-attention over the packed (B, S, H*D) cached K/V
-    (see :class:`KVCache`).  The int8 per-(head, position) scales fold out of
-    both dots exactly as in self-attention."""
-    h_dim, d = cfg.num_attention_heads, cfg.head_dim
-    scale = d**-0.5
-    q = split_heads(dense(p["q"], x), h_dim) * scale  # (B, H, 1, D)
+    """Single-token cross-attention over the dot-native (B, H, S, D) cached
+    K/V (see :class:`KVCache` for why this layout).  The int8 per-(head,
+    position) scales fold out of both dots exactly as in self-attention.
+    Both einsums consume the cache with zero physical relayout — the only
+    per-step data movement is the K/V read itself."""
+    scale = cfg.head_dim**-0.5
+    q = split_heads(dense(p["q"], x), cfg.num_attention_heads) * scale  # (B, H, 1, D)
     dtype = q.dtype
-    s_len = ck.shape[1]
-    k = ck.reshape(ck.shape[0], s_len, h_dim, d)
-    v = cv.reshape(cv.shape[0], s_len, h_dim, d)
     scores = jnp.einsum(
-        "bhqd,bshd->bhqs", q, k.astype(dtype),
+        "bhqd,bhsd->bhqs", q, ck.astype(dtype),
         preferred_element_type=jnp.float32, precision=_precision(q),
     )
     if ck_scale is not None:
@@ -510,7 +527,7 @@ def _cross_attention_decode(
         probs = probs * cv_scale[:, :, None, :].astype(jnp.float32)
     probs = probs.astype(dtype)
     out = jnp.einsum(
-        "bhqs,bshd->bhqd", probs, v.astype(dtype),
+        "bhqs,bhsd->bhqd", probs, cv.astype(dtype),
         preferred_element_type=dtype, precision=_precision(q),
     )
     return dense(p["o"], merge_heads(out))
@@ -574,7 +591,6 @@ def _layer_decode(
     kv_pad_mask=None,
     k_scale=None,
     v_scale=None,
-    kv_read_limit=None,
 ):
     """Single-token cached layer: read-only past, returns new KV slice."""
     act = ACTIVATIONS[cfg.activation_function]
@@ -582,7 +598,7 @@ def _layer_decode(
     attn_out, self_kv = _self_attention_decode(
         lp["self_attn"], cfg, h, past_k, past_v, stage_k, stage_v,
         stage_k_scale, stage_v_scale, index, flushed,
-        kv_pad_mask, k_scale, v_scale, kv_read_limit,
+        kv_pad_mask, k_scale, v_scale,
     )
     x = x + attn_out
 
@@ -610,7 +626,6 @@ def forward(
     cache: KVCache | None = None,
     prefill: bool = False,
     train_key: jnp.ndarray | None = None,
-    kv_read_limit: int | None = None,
     auto_flush: bool = True,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
@@ -674,9 +689,16 @@ def forward(
     else:
         t_max = cache.self_k.shape[4]
         if attention_mask is not None:
-            kv_pad_mask = jnp.pad(
-                attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])), constant_values=1
-            ).astype(jnp.int8)
+            # the fused mask may be longer than a growing-buffer bucket's
+            # buffer (positions past t_max don't exist yet) or shorter than
+            # the +STAGE slack (slack positions are always causally masked)
+            if attention_mask.shape[1] >= t_max:
+                kv_pad_mask = attention_mask[:, :t_max].astype(jnp.int8)
+            else:
+                kv_pad_mask = jnp.pad(
+                    attention_mask, ((0, 0), (0, t_max - attention_mask.shape[1])),
+                    constant_values=1,
+                ).astype(jnp.int8)
 
     enc_mask = None
     if encoder_attention_mask is not None:
@@ -748,7 +770,7 @@ def forward(
             x, self_kv = _layer_decode(
                 lp, cfg, x, sk, sv, stk, stv, stksc, stvsc, ck, cv, cksc, cvsc,
                 enc_mask, past_len, cache.flushed, kv_pad_mask,
-                k_scale=ksc, v_scale=vsc, kv_read_limit=kv_read_limit,
+                k_scale=ksc, v_scale=vsc,
             )
             return x, (self_kv[0], self_kv[1])
 
