@@ -21,6 +21,8 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="mini", choices=["mini", "large"],
+                    help="model geometry: mini (600M) or large (2B decoder)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=3)
@@ -40,12 +42,14 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from parler_tts_tpu.core.config import GenerationConfig, mini_600m_config
+    from parler_tts_tpu.core.config import (
+        GenerationConfig, large_2b_config, mini_600m_config,
+    )
     from parler_tts_tpu.generation import generate as G
     from parler_tts_tpu.models import parler
     from parler_tts_tpu.ops.nn import astype_tree
 
-    cfg = mini_600m_config()
+    cfg = mini_600m_config() if args.config == "mini" else large_2b_config()
     frames = int(args.seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
     gen = GenerationConfig(
         max_length=frames, do_sample=True, temperature=1.0, top_k=50,
@@ -104,6 +108,7 @@ def main() -> int:
         pass
 
     print(json.dumps({
+        "config": args.config,
         "batch": args.batch,
         "seconds": args.seconds,
         "steps": steps,

@@ -169,6 +169,53 @@ def test_cached_decode_matches_full_forward(models, batch):
     np.testing.assert_allclose(stepped, full_logits, atol=2e-5, rtol=1e-4)
 
 
+def test_grow_cache_mid_decode_matches_full_forward(models, batch):
+    """grow_cache (the growing-buffer length buckets) mid-decode: start with a
+    minimal buffer, zero-pad it after a few steps, and finish — logits must
+    match the full-sequence forward (growth preserves contents, flush offsets,
+    and read masking)."""
+    rmodel, cfg, params = models
+    b = batch
+    B, T, P = b["B"], b["T"], b["P"]
+    fused_mask = np.concatenate([b["prompt_mask"], b["dec_mask"]], axis=1)
+
+    hidden_full, _ = jdec.forward(
+        params, cfg, b["ids"],
+        prompt_hidden_states=b["prompt"],
+        encoder_hidden_states=b["enc"],
+        encoder_attention_mask=b["enc_mask"],
+        attention_mask=fused_mask,
+    )
+    full_logits = np.asarray(jdec.logits(params, hidden_full, num_labels=T))
+
+    t0, grow_at = 3, T // 2
+    cache = jdec.init_cache(cfg, B, P + t0 + grow_at, b["S"])  # minimal start
+    hidden, cache = jdec.forward(
+        params, cfg, b["ids"][:, :, :t0],
+        prompt_hidden_states=b["prompt"],
+        encoder_hidden_states=b["enc"],
+        encoder_attention_mask=b["enc_mask"],
+        attention_mask=fused_mask[:, : P + t0],
+        cache=cache,
+        prefill=True,
+    )
+    step_logits = [np.asarray(jdec.logits(params, hidden, num_labels=t0))]
+    for t in range(t0, T):
+        if t == grow_at:
+            old = cache.self_k.shape[4]
+            cache = jdec.grow_cache(cache, P + T + 4)
+            assert cache.self_k.shape[4] > old
+        hidden, cache = jdec.forward(
+            params, cfg, b["ids"][:, :, t : t + 1],
+            encoder_attention_mask=b["enc_mask"],
+            attention_mask=fused_mask[:, : P + t + 1],
+            cache=cache,
+        )
+        step_logits.append(np.asarray(jdec.logits(params, hidden)))
+    stepped = np.concatenate(step_logits, axis=2)
+    np.testing.assert_allclose(stepped, full_logits, atol=2e-5, rtol=1e-4)
+
+
 def test_embed_codebooks_sums():
     cfg = DecoderConfig(vocab_size=V, num_codebooks=K, hidden_size=H, num_hidden_layers=1)
     import jax
