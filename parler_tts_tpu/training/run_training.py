@@ -62,6 +62,11 @@ def prepare_synthetic(n: int, cfg, *, seed: int = 0, desc_len: int = 24, prompt_
                 "input_ids": rng.integers(0, cfg.text_encoder.vocab_size, (int(rng.integers(8, desc_len + 1)),)),
                 "prompt_input_ids": rng.integers(0, cfg.vocab_size, (int(rng.integers(6, prompt_len + 1)),)),
                 "labels": labels[0],
+                # text fields so the eval WER/CLAP hooks run end-to-end (and
+                # log an honest wer_available=0 when the ASR/CLAP checkpoints
+                # aren't on disk — reference logs real values, :1701-1707)
+                "prompt_text": f"synthetic prompt {i}",
+                "description_text": f"synthetic description {i}",
             }
         )
     return samples
@@ -167,10 +172,12 @@ def prepare_hf(data_args, model_args, cfg, dac_params, *, split: str = "train",
 
 
 def _load_or_prepare(data_args, model_args, cfg, dac_params, *, split: str,
-                     max_samples: int | None) -> list[dict]:
-    """Processed-dataset disk cache around :func:`prepare_hf` (reference
+                     max_samples: int | None, make=None) -> list[dict]:
+    """Processed-dataset disk cache around sample preparation (reference
     ``save_to_disk``, ``:1251-1257``): second runs load the prepared samples
-    without touching the source datasets or the codec."""
+    without touching the source datasets or the codec.  ``make`` overrides
+    the preparation thunk (the synthetic:// path); default is
+    :func:`prepare_hf`."""
     cache = None
     if data_args.save_to_disk:
         os.makedirs(data_args.save_to_disk, exist_ok=True)
@@ -179,7 +186,10 @@ def _load_or_prepare(data_args, model_args, cfg, dac_params, *, split: str,
             samples = list(np.load(cache, allow_pickle=True))
             print(f"[data] loaded {len(samples)} prepared samples from {cache}")
             return samples
-    samples = prepare_hf(data_args, model_args, cfg, dac_params, split=split, max_samples=max_samples)
+    if make is None:
+        samples = prepare_hf(data_args, model_args, cfg, dac_params, split=split, max_samples=max_samples)
+    else:
+        samples = make()
     if cache:
         np.save(cache, np.asarray(samples, dtype=object), allow_pickle=True)
         print(f"[data] saved {len(samples)} prepared samples to {cache}")
@@ -220,12 +230,21 @@ def main(argv: list[str] | None = None) -> dict:
         params, cfg, gen_cfg = ck.load_model(model_args.model_name_or_path)
     else:
         cfg = dummy_config() if model_args.model_name_or_path == "dummy" else mini_600m_config()
-        params = parler.init(jax.random.PRNGKey(train_args.seed), cfg, with_audio_encoder=False)
+        # the codec is part of the composite (frozen; needed to vocode the
+        # eval generation pass for WER/CLAP — reference :1701-1707); skip it
+        # only when eval never vocodes
+        params = parler.init(
+            jax.random.PRNGKey(train_args.seed), cfg,
+            with_audio_encoder=bool(train_args.do_eval and train_args.generation_max_length),
+        )
 
     # ----- data -----
     if data_args.train_dataset_name.startswith("synthetic://"):
         n = int(data_args.train_dataset_name.split("://", 1)[1])
-        samples = prepare_synthetic(n, cfg, seed=train_args.seed)
+        samples = _load_or_prepare(
+            data_args, model_args, cfg, None, split="train", max_samples=None,
+            make=lambda: prepare_synthetic(n, cfg, seed=train_args.seed),
+        )
     else:
         samples = _load_or_prepare(data_args, model_args, cfg, params.get("audio_encoder"),
                                    split="train", max_samples=data_args.max_train_samples)
@@ -238,7 +257,10 @@ def main(argv: list[str] | None = None) -> dict:
     if train_args.do_eval:
         if data_args.train_dataset_name.startswith("synthetic://"):
             n_eval = data_args.max_eval_samples or 16
-            eval_samples = prepare_synthetic(n_eval, cfg, seed=train_args.seed + 1)
+            eval_samples = _load_or_prepare(
+                data_args, model_args, cfg, None, split="eval", max_samples=None,
+                make=lambda: prepare_synthetic(n_eval, cfg, seed=train_args.seed + 1),
+            )
         elif data_args.eval_dataset_name:
             eval_samples = _load_or_prepare(data_args, model_args, cfg, params.get("audio_encoder"),
                                             split="eval", max_samples=data_args.max_eval_samples)
@@ -362,10 +384,26 @@ def main(argv: list[str] | None = None) -> dict:
     per_host_step = max(1, per_step // jax.process_count())
     per_host_eval = max(1, train_args.per_device_eval_batch_size * (n_dev // model_par) // jax.process_count())
 
+    def pad_eval_batch(ebatch: dict, n: int) -> dict:
+        """Pad a partial eval batch to ``n`` rows so it shards evenly over the
+        data mesh axis (reference pads via ``pad_across_processes`` ``:1684``).
+        Padding rows repeat real samples but carry all ``-100`` labels, so
+        they contribute exactly zero to both the loss sum and the valid-token
+        count — the eval loss is unchanged, not diluted."""
+        b = next(iter(ebatch.values())).shape[0]
+        if b >= n:
+            return ebatch
+        reps = np.arange(n - b) % b
+        out = {}
+        for k, v in ebatch.items():
+            pad_rows = np.full_like(v[reps], -100) if k == "labels" else v[reps]
+            out[k] = np.concatenate([v, pad_rows], axis=0)
+        return out
+
     def run_eval(opt_step: int, eparams) -> None:
         losses = []
         for ebatch in batches(eval_samples, collator, per_host_eval, shuffle=False, drop_last=False):
-            ebatch = dist.host_local_to_global(ebatch, mesh)
+            ebatch = dist.host_local_to_global(pad_eval_batch(ebatch, per_host_eval), mesh)
             losses.append(float(eval_step(eparams, ebatch)["loss"]))
         emetrics = {"loss": float(np.mean(losses))} if losses else {}
         # generation pass (reference :1676-1744)
