@@ -41,12 +41,48 @@ def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return y.astype(dtype)
 
 
-def _res_unit(p: Params, x: jnp.ndarray, *, dilation: int) -> jnp.ndarray:
+# Folded minimax-style fit of sin²(πu) around u=1/2: sin²(πu) ≈ Σ c_k (u-½)²ᵏ
+# on u ∈ [0, 1), max abs error 4e-7 (below even fp32 output resolution for
+# O(1) activations; far below the bf16 quantum the serving path stores).
+_SIN2_COEFFS = (
+    0.9999996053911587,
+    -9.86949017788201,
+    32.46432871051712,
+    -42.63581076715343,
+    29.395246060076758,
+    -10.535552813831753,
+)
+
+
+def snake_fast(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake via range-reduced polynomial sin² — the serving-path activation.
+
+    The vocoder is VPU-transcendental-bound (`sin` ≈ 20 cycles/element over
+    full-rate (B, T·512, C) activations — ~60% of decode-to-waveform time).
+    This computes sin²(αx) as p(frac(αx/π) − ½) with a degree-5 even
+    polynomial: ~11 cheap VPU ops, no transcendental.  fp32 internally,
+    max abs error 4e-7 vs exact — inaudible; the fp32 allclose-gate path
+    keeps exact `snake`.
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)
+    t = x32 * (a * jnp.float32(1.0 / jnp.pi))  # αx/π, per-channel scale
+    v = (t - jnp.floor(t)) - jnp.float32(0.5)
+    w = v * v
+    p = jnp.float32(_SIN2_COEFFS[-1])
+    for c in _SIN2_COEFFS[-2::-1]:
+        p = p * w + jnp.float32(c)
+    y = x32 + p * (1.0 / (a + 1e-9))
+    return y.astype(dtype)
+
+
+def _res_unit(p: Params, x: jnp.ndarray, *, dilation: int, snake_fn=snake) -> jnp.ndarray:
     """Snake -> dilated conv7 -> Snake -> conv1, residual add (same length:
     pad = 3*dilation keeps T; the torch version's center-trim is a no-op)."""
-    y = snake(x, p["snake1"]["alpha"])
+    y = snake_fn(x, p["snake1"]["alpha"])
     y = conv1d(p["conv1"], y, dilation=dilation, padding=3 * dilation)
-    y = snake(y, p["snake2"]["alpha"])
+    y = snake_fn(y, p["snake2"]["alpha"])
     y = conv1d(p["conv2"], y)
     return x + y
 
@@ -72,17 +108,20 @@ def decoder_forward(p: Params, cfg: DACConfig, z: jnp.ndarray, *, dtype=None) ->
 
     ``dtype`` sets the conv compute precision: fp32 (default) for the
     allclose quality gate, bf16 for the serving path (~MXU-native; snake
-    stays fp32 internally, final tanh output returned fp32).
+    stays fp32 internally, final tanh output returned fp32).  The serving
+    path also swaps `snake` for the polynomial `snake_fast` (4e-7 abs error,
+    ~2× fewer VPU cycles where the vocoder is actually bound).
     """
+    sn = snake_fast if dtype == jnp.bfloat16 else snake
     if dtype is not None:
         z = z.astype(dtype)
     x = conv1d(p["conv_in"], z, padding=3)
     for block, stride in zip(p["blocks"], cfg.upsampling_ratios):
-        x = snake(x, block["snake"]["alpha"])
+        x = sn(x, block["snake"]["alpha"])
         x = conv_transpose1d(block["conv_up"], x, stride=stride, padding=-(-stride // 2))
         for r, d in zip((block["res1"], block["res2"], block["res3"]), _DILATIONS):
-            x = _res_unit(r, x, dilation=d)
-    x = snake(x, p["snake_out"]["alpha"])
+            x = _res_unit(r, x, dilation=d, snake_fn=sn)
+    x = sn(x, p["snake_out"]["alpha"])
     x = conv1d(p["conv_out"], x, padding=3)
     return jnp.tanh(x.astype(jnp.float32))[..., 0]
 

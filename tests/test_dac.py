@@ -108,6 +108,27 @@ def test_bf16_vocoder_quality():
     assert snr > 30.0, f"bf16 vocoder SNR too low: {snr:.1f} dB"
 
 
+def test_snake_fast_matches_exact():
+    """Polynomial snake (serving path) tracks the transcendental snake to
+    ~1e-5 abs on realistic activation ranges (fit error 4e-7; the rest is
+    fp32 argument rounding, which the exact path shares)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 5, (2, 512, 64)).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.05, 3.0, (64,)).astype(np.float32))
+    y0 = np.asarray(jdac.snake(x, a))
+    y1 = np.asarray(jdac.snake_fast(x, a))
+    assert np.abs(y1 - y0).max() < 1e-4
+    # bf16 in/out (the serving dtype): identical after bf16 rounding almost
+    # everywhere
+    xb = x.astype(jnp.bfloat16)
+    y0 = np.asarray(jdac.snake(xb, a), np.float32)
+    y1 = np.asarray(jdac.snake_fast(xb, a), np.float32)
+    denom = np.maximum(np.abs(y0), 1.0)
+    assert (np.abs(y1 - y0) / denom).max() < 1e-2
+
+
 def test_default_config_shapes():
     """Default (44.1 kHz Mini) geometry: hop 512, 86 frames/s."""
     cfg = DACConfig()
