@@ -32,6 +32,10 @@ def main() -> int:
                     help="int8 weight-only decode matmuls")
     ap.add_argument("--kv-buckets", type=int, default=8,
                     help="max KV read-length buckets (1 = single full-range loop)")
+    ap.add_argument("--greedy", action="store_true",
+                    help="argmax decode (ablates the sampler: no top-k, no categorical)")
+    ap.add_argument("--top-k", type=int, default=50,
+                    help="top-k for sampling (0 disables the top-k warper)")
     args = ap.parse_args()
 
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
@@ -52,7 +56,8 @@ def main() -> int:
     cfg = mini_600m_config() if args.config == "mini" else large_2b_config()
     frames = int(args.seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
     gen = GenerationConfig(
-        max_length=frames, do_sample=True, temperature=1.0, top_k=50,
+        max_length=frames, do_sample=not args.greedy, temperature=1.0,
+        top_k=args.top_k or None,
         kv_cache_dtype=args.kv_dtype, int8_weights=args.int8_weights,
         kv_read_buckets=args.kv_buckets,
     )
