@@ -74,10 +74,25 @@ def _make_inputs(rng, batch, desc_len=32, prompt_len=24):
     )
 
 
+def _cache_entries(cache_dir):
+    try:
+        return len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        return 0
+
+
 def run_bench(batch: int, seconds: float):
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
 
     cache_dir = enable_persistent_cache()
+    # surface persistent-cache hits/misses: a "cold" 5-min compile with a warm
+    # disk cache means the cache key changed (program or compiler version), a
+    # growing entry count means first-ever population of this program
+    import logging
+    logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+    logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+    logging.basicConfig(stream=sys.stderr)
+    cache_n0 = _cache_entries(cache_dir)
 
     import jax
     import jax.numpy as jnp
@@ -98,8 +113,13 @@ def run_bench(batch: int, seconds: float):
     # folding, logits within ~5e-2 relative of fp — see ops/quantization.py).
     # BENCH_INT8=0 reverts to the bf16 compatibility path.
     use_int8 = os.environ.get("BENCH_INT8", "1") != "0"
+    # compile-time experiment knobs (BENCH_SAMPLE=0 -> greedy, BENCH_TOPK=0 ->
+    # sampling without the top-k warper)
     gen = GenerationConfig(
-        max_length=frames, do_sample=True, temperature=1.0, top_k=50,
+        max_length=frames,
+        do_sample=os.environ.get("BENCH_SAMPLE", "1") != "0",
+        temperature=1.0,
+        top_k=int(os.environ.get("BENCH_TOPK", 50)),
         kv_cache_dtype="int8" if use_int8 else None, int8_weights=use_int8,
     )
 
@@ -131,7 +151,11 @@ def run_bench(batch: int, seconds: float):
     t0 = time.time()
     float(run(params, jax.random.PRNGKey(1)))
     compile_s = time.time() - t0
-    print(f"compile+first-run {compile_s:.1f}s", file=sys.stderr)
+    cache_n1 = _cache_entries(cache_dir)
+    print(f"compile+first-run {compile_s:.1f}s "
+          f"(cache entries {cache_n0} -> {cache_n1}: "
+          f"{'MISS — populated now' if cache_n1 > cache_n0 else 'HIT'})",
+          file=sys.stderr)
 
     times = []
     for i in range(reps):

@@ -93,15 +93,89 @@ def host_local_to_global(batch: Any, mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
-def all_gather_metrics(metrics: dict) -> dict:
-    """Mean-reduce scalar metrics across hosts (replaces
-    ``gather_for_metrics``)."""
+def all_gather_metrics(metrics: dict, weight: float = 1.0) -> dict:
+    """Weighted-mean-reduce scalar metrics across hosts (replaces
+    ``gather_for_metrics``, reference ``:1662, 1687-1689``).  ``weight`` is
+    this host's sample count for metrics that are per-host means over
+    differently-sized shards (eval WER/CLAP).  Hosts may report different
+    key sets (e.g. an empty shard reports ``{}``); each key is averaged over
+    the hosts that reported it."""
     if jax.process_count() == 1:
         return {k: float(v) for k, v in metrics.items()}
-    from jax.experimental import multihost_utils
+    shards = allgather_object((dict(metrics), float(weight)))
+    out: dict[str, float] = {}
+    for key in {k for m, _ in shards for k in m}:
+        num = sum(m[key] * w for m, w in shards if key in m)
+        den = sum(w for m, w in shards if key in m)
+        out[key] = float(num / max(den, 1e-9))
+    return out
 
+
+def _allreduce(values: Sequence[float], op) -> list[float]:
     import numpy as np
 
-    vals = np.asarray([float(v) for v in metrics.values()], np.float32)
-    gathered = multihost_utils.process_allgather(vals)
-    return dict(zip(metrics.keys(), np.mean(gathered, axis=0).tolist()))
+    if jax.process_count() == 1:
+        return [float(v) for v in values]
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(values, np.float64))
+    return op(gathered, axis=0).tolist()
+
+
+def global_max(values: Sequence[float]) -> list[float]:
+    """Element-wise max across hosts (collator shape agreement: every host
+    must compile identical batch shapes or ``host_local_to_global`` hangs)."""
+    import numpy as np
+
+    return _allreduce(values, np.max)
+
+
+def global_min(values: Sequence[float]) -> list[float]:
+    """Element-wise min across hosts (lockstep loop bounds)."""
+    import numpy as np
+
+    return _allreduce(values, np.min)
+
+
+def global_sum(values: Sequence[float]) -> list[float]:
+    """Element-wise sum across hosts (global sample counts)."""
+    import numpy as np
+
+    return _allreduce(values, np.sum)
+
+
+def allgather_object(obj: Any) -> list[Any]:
+    """All-gather an arbitrary picklable object; returns the per-host list
+    (index = process_index).  Used to exchange per-host prepared dataset
+    shards (the reference gathers encoded codes to the main process and
+    persists the full dataset, ``:1151-1161``)."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.asarray([data.size], np.int64))
+    m = int(sizes.max())
+    padded = np.zeros((m,), np.uint8)
+    padded[: data.size] = data
+    all_data = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(all_data[h, : int(sizes[h])].tobytes())
+        for h in range(jax.process_count())
+    ]
+
+
+def gather_prepared(samples: list[dict]) -> list[dict]:
+    """Merge per-host prepared-sample shards into the full dataset, restoring
+    the source row order via each sample's ``_idx`` (global raw row index,
+    attached by ``prepare_hf``).  Every host returns the identical full list —
+    the TPU equivalent of the reference's gather + ``save_to_disk`` of the
+    complete processed dataset (``:1151-1161, 1251-1257``), which lets every
+    rank sample from the full set during training."""
+    shards = allgather_object(samples)
+    merged = [s for shard in shards for s in shard]
+    merged.sort(key=lambda s: s.get("_idx", 0))
+    return merged

@@ -213,6 +213,55 @@ def tokenize_audio_batches(
     return out
 
 
+class CodesCache:
+    """Incremental on-disk cache of codec codes keyed by **global raw row
+    index** (the reference caches the encoded dataset under
+    ``temporary_save_to_disk``, ``:1167-1177``).
+
+    Chunked ``.npz`` parts are appended as encoding progresses, so a crashed
+    or re-run preparation only encodes rows missing from the cache, and no
+    full-corpus array is ever rebuilt in one piece.  Each host writes its own
+    part files (``h{i}of{n}_part*.npz`` — no cross-host write races); codes
+    are int16 like the reference (``:1155``).  All parts present on disk are
+    readable by any host, so a cache produced at one process count is reused
+    at another."""
+
+    def __init__(self, root: str, *, split: str, process_index: int = 0, process_count: int = 1):
+        import os
+
+        self.dir = os.path.join(root, f"{split}_codes")
+        os.makedirs(self.dir, exist_ok=True)
+        self.prefix = f"h{process_index}of{process_count}"
+        self._known: dict[int, np.ndarray] = {}
+        self._part = 0
+        for f in sorted(os.listdir(self.dir)):
+            if not f.endswith(".npz"):
+                continue
+            if f.startswith(self.prefix + "_part"):
+                self._part += 1
+            with np.load(os.path.join(self.dir, f)) as z:
+                for k in z.files:
+                    self._known[int(k[1:])] = z[k]
+        self._new: dict[int, np.ndarray] = {}
+
+    def get(self, idx: int) -> np.ndarray | None:
+        return self._known.get(idx)
+
+    def put(self, idx: int, codes: np.ndarray) -> None:
+        self._new[idx] = codes.astype(np.int16)
+
+    def flush(self) -> None:
+        import os
+
+        if not self._new:
+            return
+        path = os.path.join(self.dir, f"{self.prefix}_part{self._part:06d}.npz")
+        np.savez(path, **{f"i{k}": v for k, v in self._new.items()})
+        self._known.update(self._new)
+        self._new = {}
+        self._part += 1
+
+
 def build_labels(
     codes_list: Sequence[np.ndarray],
     *,
@@ -277,13 +326,21 @@ class Collator:
 
 def batches(dataset: Sequence[dict], collator: Collator, batch_size: int, *,
             seed: int = 0, shuffle: bool = True, drop_last: bool = True,
-            group_by_length: bool = False) -> Iterator[dict]:
+            group_by_length: bool = False,
+            row_slice: tuple[int, int] | None = None) -> Iterator[dict]:
     """Epoch iterator with per-epoch shuffle (reference ``:1559``).
 
     ``group_by_length`` emulates the reference's ``LengthGroupedSampler``
     (``:1561-1562``): shuffle, then sort within mega-chunks of 50 batches by
     label length so batches are length-homogeneous (less padding waste)
     while retaining epoch-level randomness.
+
+    ``row_slice=(lo, hi)``: multi-host mode — every host iterates the SAME
+    global permutation and global batches of ``batch_size``, but collates
+    only rows ``[lo, hi)`` of each batch (its share of the global batch, like
+    the reference's ``DistributedSampler`` slicing of a shared permutation).
+    The global batch assembled by ``host_local_to_global`` is then
+    bit-identical to the single-process batch.
     """
     idx = np.arange(len(dataset))
     rng = np.random.default_rng(seed)
@@ -303,4 +360,6 @@ def batches(dataset: Sequence[dict], collator: Collator, batch_size: int, *,
         rng.shuffle(starts)  # batches stay homogeneous, order re-randomized
     for i in starts:
         take = idx[i : i + batch_size]
+        if row_slice is not None:
+            take = take[row_slice[0] : row_slice[1]]
         yield collator([dataset[int(j)] for j in take])
