@@ -82,13 +82,22 @@ def config_from_reference(config_json: dict) -> ParlerTTSConfig:
             is_gated_act=te.get("is_gated_act", gated),
             dropout_rate=te.get("dropout_rate", 0.1),
         ),
+        # the reference wrapper's DACConfig carries only codebook facts (the
+        # conv geometry is descript's fixed 44khz stack = our defaults);
+        # HF-native DacModel audio encoders spell out the full geometry with
+        # slightly different field names — honor both
         audio_encoder=DACConfig(
-            num_codebooks=ae.get("num_codebooks", 9),
+            num_codebooks=ae.get("num_codebooks", ae.get("n_codebooks", 9)),
             model_bitrate=ae.get("model_bitrate", 8),
             codebook_size=ae.get("codebook_size", 1024),
-            latent_dim=ae.get("latent_dim", 1024),
+            codebook_dim=ae.get("codebook_dim", 8),
+            latent_dim=ae.get("latent_dim", ae.get("hidden_size", 1024)),
             frame_rate=ae.get("frame_rate", 86),
             sampling_rate=ae.get("sampling_rate", 44100),
+            encoder_hidden_size=ae.get("encoder_hidden_size", 64),
+            downsampling_ratios=tuple(ae.get("downsampling_ratios", (2, 4, 8, 8))),
+            decoder_hidden_size=ae.get("decoder_hidden_size", 1536),
+            upsampling_ratios=tuple(ae.get("upsampling_ratios", (8, 8, 4, 2))),
         ),
         decoder=DecoderConfig(
             vocab_size=de.get("vocab_size", 1088),
@@ -112,7 +121,12 @@ def generation_config_from_reference(gen_json: dict, cfg: ParlerTTSConfig) -> Ge
         max_length=gen_json.get("max_length", 2580),
         do_sample=gen_json.get("do_sample", True),
         temperature=gen_json.get("temperature", 1.0),
-        top_k=gen_json.get("top_k", 50),  # HF default warper
+        # an omitted top_k must stay DISABLED: the reference Mini checkpoint
+        # ships do_sample with no top-k, and HF's TopKLogitsWarper is only
+        # instantiated when generate() is *called* with top_k — defaulting to
+        # HF's 50 here would make migrated checkpoints silently sample
+        # differently than the torch stack (round-2 VERDICT weak item 7)
+        top_k=gen_json.get("top_k", 0),
         top_p=gen_json.get("top_p", 1.0),
         guidance_scale=gen_json.get("guidance_scale") or 1.0,
         decoder_start_token_id=gen_json.get("decoder_start_token_id", cfg.decoder.bos_token_id),

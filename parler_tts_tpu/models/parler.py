@@ -151,7 +151,11 @@ def import_composite(sd, cfg: ParlerTTSConfig) -> Params:
             "kernel": ti._np(sd["enc_to_dec_proj.weight"]).T,
             "bias": ti._np(sd["enc_to_dec_proj.bias"]),
         }
-    dac_sd = ti.strip_prefix(sd, "audio_encoder.model")
+    # codec weights: the reference's DACModel wrapper nests the descript
+    # model under ``audio_encoder.model.*``; checkpoints assembled with the
+    # HF-native ``DacModel`` (same architecture, transformers' port) put the
+    # identical tensors directly under ``audio_encoder.*``
+    dac_sd = ti.strip_prefix(sd, "audio_encoder.model") or ti.strip_prefix(sd, "audio_encoder")
     if dac_sd:
         params["audio_encoder"] = ti.import_dac(
             dac_sd,

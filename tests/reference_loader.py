@@ -66,4 +66,10 @@ def load_reference():
         AutoConfig.register = orig_cfg_reg
         AutoModel.register = orig_mdl_reg
 
+    # modern transformers' to_diff_dict() default-constructs the config class
+    # unless it declares has_no_defaults_at_init; the reference's composite
+    # config REQUIRES sub-configs at init (configuration_parler_tts.py:195-196)
+    # so from_dict/from_pretrained crash without this flag (it's exactly how
+    # upstream marks EncoderDecoderConfig-style composites)
+    parler_tts.ParlerTTSConfig.has_no_defaults_at_init = True
     return parler_tts
