@@ -9,6 +9,7 @@ round-2 decode work: KV-cache memory envelope (batch 32 x 10 s / batch 4 x
 Usage:
   python benchmarks/decode_bench.py --batch 32 --seconds 10
       [--reps 3] [--kv-dtype int8] [--int8-weights] [--kv-buckets N]
+      [--greedy] [--top-k K]
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ def main() -> int:
     frames = int(args.seconds * cfg.frame_rate) + cfg.decoder.num_codebooks
     gen = GenerationConfig(
         max_length=frames, do_sample=not args.greedy, temperature=1.0,
-        top_k=args.top_k or None,
+        top_k=args.top_k,  # 0 disables the warper in process_logits
         kv_cache_dtype=args.kv_dtype, int8_weights=args.int8_weights,
         kv_read_buckets=args.kv_buckets,
     )

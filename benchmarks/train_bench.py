@@ -5,8 +5,9 @@ Measures the sharded jit train step (forward+backward+AdamW, frozen T5,
 pallas flash attention) and reports codec-tokens/s and audio-seconds of
 training data per second.
 
-Usage: python benchmarks/train_bench.py [--batch 3] [--seconds 10] [--steps 5]
-Emits one JSON line.
+Usage: python benchmarks/train_bench.py [--batch 3] [--seconds 10] [--steps 5] [--remat]
+Emits one JSON line (incl. analytic model-FLOPs MFU vs the v5e 197 TFLOP/s
+bf16 peak).
 """
 
 import argparse
@@ -15,11 +16,42 @@ import sys
 import time
 
 
+def _train_step_model_flops(cfg, b, t_lab, desc_len, prompt_len):
+    """Analytic matmul FLOPs of one train step (see call-site comment)."""
+    d = cfg.decoder
+    h, L, ffn = d.hidden_size, d.num_hidden_layers, d.ffn_dim
+    tf = prompt_len + t_lab  # fused decoder sequence
+    te = desc_len
+    # decoder layer: self QKVO + self dots + cross q,o + cross k,v + cross dots + FFN
+    layer = (
+        4 * 2 * tf * h * h
+        + 2 * 2 * tf * tf * h
+        + 2 * 2 * tf * h * h
+        + 2 * 2 * te * h * h
+        + 2 * 2 * tf * te * h
+        + 2 * 2 * tf * h * ffn
+    )
+    heads = d.num_codebooks * 2 * t_lab * h * d.vocab_size
+    trainable = L * layer + heads
+    t5 = cfg.text_encoder
+    hm, ff5 = t5.d_model, t5.d_ff
+    t5_layer = 4 * 2 * te * hm * hm + 2 * 2 * te * te * hm + 3 * 2 * te * hm * ff5  # gated FFN: wi_0, wi_1, wo
+    frozen = t5.num_layers * t5_layer
+    proj = 2 * te * hm * h if hm != h else 0
+    return b * (3 * (trainable + proj) + frozen)
+
+
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=3)  # reference per-device bsz
     ap.add_argument("--seconds", type=float, default=10.0)  # audio per sample
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer gradient checkpointing (reference "
+                         "gradient_checkpointing; fits batch>=16 x 30 s on 16 GB)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +73,10 @@ def main():
     jax.block_until_ready(params)
     tx = optim.make_optimizer(9.5e-4, warmup_steps=100)
     state, frozen = tstep.create_state(params, tx)
-    train_step = jax.jit(tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16), donate_argnums=(0,))
+    train_step = jax.jit(
+        tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=args.remat),
+        donate_argnums=(0,),
+    )
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 1024, (b, cfg.decoder.num_codebooks, t_codes))
@@ -63,6 +98,12 @@ def main():
     compile_s = time.time() - t0
     print(f"compile+first {compile_s:.1f}s loss={float(m['loss']):.3f}", file=sys.stderr)
 
+    # analytic model-FLOPs per step for MFU: matmuls only, fwd + 2x bwd on the
+    # trainable path, frozen-T5 forward once, full (non-causal-discounted)
+    # attention quadratic terms, no remat-recompute FLOPs (MFU counts model
+    # FLOPs, not hardware FLOPs).  v5e peak: 197 TFLOP/s bf16.
+    flops = _train_step_model_flops(cfg, b, t_lab, desc_len=48, prompt_len=32)
+
     t0 = time.time()
     for _ in range(args.steps):
         state, m = train_step(state, frozen, batch)
@@ -74,9 +115,12 @@ def main():
         "metric": "train_step",
         "batch": b,
         "label_frames": t_lab,
+        "remat": args.remat,
         "step_s": round(dt, 3),
         "codec_tokens_per_sec": round(tokens / dt),
         "train_audio_seconds_per_sec": round(b * args.seconds / dt, 2),
+        "model_tflops_per_step": round(flops / 1e12, 2),
+        "mfu_pct": round(100.0 * flops / dt / V5E_PEAK_BF16_FLOPS, 1),
         "compile_s": round(compile_s, 1),
         "loss": round(float(m["loss"]), 3),
     }))

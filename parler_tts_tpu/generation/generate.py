@@ -67,9 +67,9 @@ def generate_tokens(
     cfg: ParlerTTSConfig,
     gen: GenerationConfig,
     *,
-    input_ids: jnp.ndarray,
+    input_ids: jnp.ndarray | None = None,
     attention_mask: jnp.ndarray | None = None,
-    prompt_input_ids: jnp.ndarray,
+    prompt_input_ids: jnp.ndarray | None = None,
     prompt_attention_mask: jnp.ndarray | None = None,
     decoder_input_codes: jnp.ndarray | None = None,
     key: jnp.ndarray,
@@ -83,32 +83,52 @@ def generate_tokens(
     continuation: raw codec codes (from ``dac.encode`` of a voice sample) are
     placed after the BOS start frame, exactly like the reference's
     ``input_values`` path (``modeling_parler_tts.py:2247-2292, 2483-2487``).
+
+    ``input_ids=None`` disables text conditioning entirely (no T5 encode, no
+    cross-attention in any layer) and ``prompt_input_ids=None`` drops the
+    prompt prefix — together they form the standalone decoder-only path of
+    the reference's ``ParlerTTSForCausalLM.generate`` (``:1281-1552``).
     """
     dcfg = cfg.decoder
-    b, num_codebooks = input_ids.shape[0], dcfg.num_codebooks
+    num_codebooks = dcfg.num_codebooks
+    for ref_arr in (input_ids, prompt_input_ids, decoder_input_codes):
+        if ref_arr is not None:
+            b = ref_arr.shape[0]
+            break
+    else:
+        raise ValueError("need input_ids, prompt_input_ids, or decoder_input_codes for the batch size")
     max_length = max_length or gen.max_length
     use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
+    if use_cfg and input_ids is None:
+        raise ValueError("classifier-free guidance needs text conditioning (input_ids)")
 
-    if attention_mask is None:
+    if attention_mask is None and input_ids is not None:
         attention_mask = jnp.ones(input_ids.shape, jnp.int32)
-    if prompt_attention_mask is None:
+    if prompt_attention_mask is None and prompt_input_ids is not None:
         prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
 
     # --- text encode + CFG null rows (reference :2197-2241) ---
-    enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
-    enc_mask = attention_mask
-    if use_cfg:
-        enc_hidden = jnp.concatenate([enc_hidden, jnp.zeros_like(enc_hidden)], axis=0)
-        enc_mask = jnp.concatenate([enc_mask, jnp.zeros_like(enc_mask)], axis=0)
+    if input_ids is not None:
+        enc_hidden = parler.encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
+        enc_mask = attention_mask
+        if use_cfg:
+            enc_hidden = jnp.concatenate([enc_hidden, jnp.zeros_like(enc_hidden)], axis=0)
+            enc_mask = jnp.concatenate([enc_mask, jnp.zeros_like(enc_mask)], axis=0)
+    else:
+        enc_hidden = enc_mask = None
 
     # --- prompt embed; CFG *repeats* the prompt rows (guidance is on the
     # description only — composite prepare_inputs duplicates via repeat,
     # reference :2109-2118, unlike the decoder-only zeros path :1214-1229) ---
-    prompt_hidden = parler.embed_prompts(params, prompt_input_ids, dtype=dtype)
-    p_mask = prompt_attention_mask
-    if use_cfg:
-        prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
-        p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
+    if prompt_input_ids is not None:
+        prompt_hidden = parler.embed_prompts(params, prompt_input_ids, dtype=dtype)
+        p_mask = prompt_attention_mask
+        if use_cfg:
+            prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
+            p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
+    else:
+        prompt_hidden = None
+        p_mask = jnp.zeros((b, 0), jnp.int32)
 
     # --- delay pattern over the un-duplicated batch (reference :2529-2537) ---
     start_ids = jnp.full((b, num_codebooks, 1), gen.decoder_start_token_id, jnp.int32)
@@ -124,14 +144,17 @@ def generate_tokens(
 
     # --- prefill: prompt + start frame ---
     rows = 2 * b if use_cfg else b
-    p_len = prompt_hidden.shape[1]
+    p_len = prompt_hidden.shape[1] if prompt_hidden is not None else 0
+    if prompt_hidden is None:
+        p_mask = jnp.zeros((rows, 0), jnp.int32)
     # growing-buffer length buckets: the cache is allocated at the first
     # bucket's fused length and zero-padded (grow_cache) at each bucket
     # transition, so attention reads a dense buffer sized to the current
     # generated length (see the loop-nest comment below)
     bucket_sizes = _kv_read_limits(p_len + t0, p_len + max_length, gen.kv_read_buckets)
     cache = decoder_mod.init_cache(
-        dcfg, rows, bucket_sizes[0], enc_hidden.shape[1], dtype=dtype,
+        dcfg, rows, bucket_sizes[0],
+        enc_hidden.shape[1] if enc_hidden is not None else 0, dtype=dtype,
         kv_dtype=gen.kv_cache_dtype,
     )
     # one static fused mask covering prompt padding + all decode positions;
@@ -191,12 +214,17 @@ def generate_tokens(
 
             # finished streams emit PAD (HF unfinished_sequences semantics)
             sampled = jnp.where(s.finished, pad, sampled)
+            # HF's legacy greedy_search/sample updates unfinished_sequences
+            # from the RAW sampled token, BEFORE the delay mask re-applies
+            # forced BOS/PAD at the next prepare_inputs — a stream that
+            # samples EOS inside a forced region still finishes (validated
+            # bit-exact in tests/test_decoder_only.py)
+            new_finished = s.finished | (sampled == eos)
             # delay pattern forcing (reference re-applies the mask every step,
             # :1203-1212)
             forced = lax.dynamic_slice_in_dim(s.tokens, s.t, 1, axis=2)[:, :, 0]
             pat_t = lax.dynamic_slice_in_dim(pattern, s.t, 1, axis=2)[:, :, 0]
             token_t = jnp.where(pat_t == -1, sampled, forced)
-            new_finished = s.finished | (token_t == eos)
 
             new_tokens = lax.dynamic_update_slice(s.tokens, token_t[:, :, None], (0, 0, s.t))
 
@@ -366,8 +394,26 @@ def generate(
         max_length=max_length,
         dtype=dtype,
     )
+    return _finalize(params, cfg, tokens, vocode=vocode, dtype=dtype)
+
+
+def _finalize(params: Params, cfg: ParlerTTSConfig, tokens: jnp.ndarray, *,
+              vocode: bool, dtype) -> GenerateOutput:
+    """Undelay/trim + batched masked DAC vocode (reference :2628-2680)."""
     codes, code_lengths = postprocess_tokens(tokens, cfg)
     if vocode and "audio_encoder" in params:
+        if cfg.decoder.num_codebooks != cfg.audio_encoder.num_codebooks:
+            # audio_channels == 2 decoders emit 2K interleaved streams; the
+            # reference has no stereo vocode either (its generate feeds
+            # output_ids straight into the K-codebook DAC, :2650-2663, which
+            # would reject 2K codebooks) — fail loudly instead of vocoding
+            # garbage; pass vocode=False and decode the codes externally
+            raise ValueError(
+                f"decoder emits {cfg.decoder.num_codebooks} codebook streams but the codec "
+                f"takes {cfg.audio_encoder.num_codebooks} (audio_channels="
+                f"{cfg.decoder.audio_channels}); no stereo vocode path exists "
+                "(the torch reference has none either) — use vocode=False"
+            )
         audio = dac_mod.decode(
             params["audio_encoder"], cfg.audio_encoder, codes,
             dtype=None if dtype == jnp.float32 else dtype,
@@ -376,3 +422,43 @@ def generate(
         audio = jnp.zeros((tokens.shape[0], 0), jnp.float32)
     audio_lengths = code_lengths * cfg.audio_encoder.hop_length
     return GenerateOutput(tokens, codes, code_lengths, audio, audio_lengths)
+
+
+def generate_decoder_only(
+    params: Params,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig,
+    *,
+    decoder_input_codes: jnp.ndarray | None = None,
+    input_values: jnp.ndarray | None = None,
+    batch_size: int | None = None,
+    key: jnp.ndarray,
+    max_length: int | None = None,
+    vocode: bool = True,
+    dtype=jnp.float32,
+) -> GenerateOutput:
+    """Standalone decoder-only generation: audio continuation with NO text
+    conditioning and no prompt prefix — the reference's
+    ``ParlerTTSForCausalLM.generate`` (``modeling_parler_tts.py:1281-1552``).
+    Cross-attention is skipped in every layer (zero-length encoder sequence).
+
+    Continue a voice sample via ``input_values`` (B, T) raw audio or
+    pre-computed ``decoder_input_codes`` (B, K, frames); with neither, the
+    model free-runs from BOS (pass ``batch_size``)."""
+    if input_values is not None:
+        assert decoder_input_codes is None
+        decoder_input_codes = dac_mod.encode(
+            params["audio_encoder"], cfg.audio_encoder, input_values
+        )
+    if decoder_input_codes is None:
+        if batch_size is None:
+            raise ValueError("pass decoder_input_codes/input_values or batch_size")
+        decoder_input_codes = jnp.zeros(
+            (batch_size, cfg.decoder.num_codebooks, 0), jnp.int32
+        )
+    tokens, _ = generate_tokens(
+        params, cfg, gen,
+        decoder_input_codes=decoder_input_codes,
+        key=key, max_length=max_length, dtype=dtype,
+    )
+    return _finalize(params, cfg, tokens, vocode=vocode, dtype=dtype)

@@ -83,6 +83,13 @@ def sinusoidal_position_at(index: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 STAGE = 64  # decode positions buffered before a bulk cache flush (see KVCache)
 
+# decode layer-scan unroll factor (experiment knob; see PERFORMANCE.md —
+# the ~1.1 ms/step small-fusion glue term scales with scan-iteration count,
+# unrolling trades compile time for cross-layer fusion windows)
+import os as _os
+
+_DECODE_UNROLL = int(_os.environ.get("PARLER_DECODE_UNROLL", "1"))
+
 
 class KVCache(NamedTuple):
     """Static-shape decode cache, laid out for the v5e tile geometry.
@@ -602,11 +609,15 @@ def _layer_decode(
     )
     x = x + attn_out
 
-    h = layer_norm(lp["ln_cross"], x)
-    attn_out = _cross_attention_decode(
-        lp["cross_attn"], cfg, h, cross_k, cross_v, cross_k_scale, cross_v_scale, enc_mask
-    )
-    x = x + attn_out
+    if cross_k.shape[3]:  # enc_len == 0: decoder-only generation — no text
+        # conditioning, cross-attention skipped entirely (the reference's
+        # ParlerTTSForCausalLM.generate path, modeling_parler_tts.py:1281-1552;
+        # its layers skip encoder_attn when no encoder_hidden_states)
+        h = layer_norm(lp["ln_cross"], x)
+        attn_out = _cross_attention_decode(
+            lp["cross_attn"], cfg, h, cross_k, cross_v, cross_k_scale, cross_v_scale, enc_mask
+        )
+        x = x + attn_out
 
     h = layer_norm(lp["ln_ffn"], x)
     h = dense(lp["fc2"], act(dense(lp["fc1"], h)))
@@ -627,6 +638,7 @@ def forward(
     prefill: bool = False,
     train_key: jnp.ndarray | None = None,
     auto_flush: bool = True,
+    remat: bool = False,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
@@ -708,7 +720,18 @@ def forward(
     enc = encoder_hidden_states.astype(dtype) if encoder_hidden_states is not None else None
 
     if cache is None:
+        # gradient checkpointing (reference supports_gradient_checkpointing,
+        # :514, 921-933): remat each layer in the backward pass, keeping only
+        # the per-layer boundary activations live — O(1 layer) activation HBM
+        # instead of O(24).  dots_with_no_batch_dims_saveable keeps the matmul
+        # outputs (cheap to store, expensive to recompute) and recomputes the
+        # elementwise glue, the usual TPU sweet spot.
+        ckpt = (
+            (lambda f: jax.checkpoint(f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable))
+            if remat else (lambda f: f)
+        )
         if train_key is None:
+            @ckpt
             def scan_body(x, lp):
                 x, _, _ = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
                 return x, None
@@ -724,6 +747,7 @@ def forward(
             else:
                 keep = jnp.ones((cfg.num_hidden_layers,), bool)
 
+            @ckpt
             def scan_body(x, s):
                 lp, lkey, keep_l = s
                 x_new, _, _ = _layer_full(
@@ -737,15 +761,26 @@ def forward(
         # prefill from index 0: attention over the local sequence only; scan
         # emits each layer's local K/V + cross K/V, merged into the big
         # buffers with ONE batched write (no per-layer buffer re-copies)
-        def scan_body(x, lp):
-            x, self_kv, cross_kv = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
-            return x, (self_kv[0], self_kv[1], cross_kv[0], cross_kv[1])
+        if enc is None:
+            # decoder-only generation: no cross-attention anywhere; the
+            # zero-length cross buffers pass through untouched
+            def scan_body(x, lp):
+                x, self_kv, _ = _layer_full(lp, cfg, x, self_mask, None, None, None, flash_ctx)
+                return x, (self_kv[0], self_kv[1])
 
-        x, (ks, vs, cks, cvs) = lax.scan(scan_body, x, layers)
+            x, (ks, vs) = lax.scan(scan_body, x, layers)
+            cks, ck_scales = cache.cross_k, cache.cross_k_scale
+            cvs, cv_scales = cache.cross_v, cache.cross_v_scale
+        else:
+            def scan_body(x, lp):
+                x, self_kv, cross_kv = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
+                return x, (self_kv[0], self_kv[1], cross_kv[0], cross_kv[1])
+
+            x, (ks, vs, cks, cvs) = lax.scan(scan_body, x, layers)
+            cks, ck_scales = _store_cross(cks, cache.cross_k)
+            cvs, cv_scales = _store_cross(cvs, cache.cross_v)
         ks, k_scales = _store_kv(ks, cache.self_k)
         vs, v_scales = _store_kv(vs, cache.self_v)
-        cks, ck_scales = _store_cross(cks, cache.cross_k)
-        cvs, cv_scales = _store_cross(cvs, cache.cross_v)
         new_cache = KVCache(
             lax.dynamic_update_slice(cache.self_k, ks, (0, 0, 0, 0, 0)),
             lax.dynamic_update_slice(cache.self_v, vs, (0, 0, 0, 0, 0)),
@@ -782,6 +817,7 @@ def forward(
              cache.stage_k_scale, cache.stage_v_scale,
              cache.cross_k, cache.cross_v, cache.cross_k_scale,
              cache.cross_v_scale),
+            unroll=_DECODE_UNROLL,
         )
         # append the new position to the stage slab (cheap leading-dim write;
         # see KVCache docstring), quantizing at append when the cache is int8

@@ -63,6 +63,7 @@ def train_forward(
     labels: jnp.ndarray,
     decoder_attention_mask: jnp.ndarray | None = None,
     train_key: jnp.ndarray | None = None,
+    remat: bool = False,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced loss (reference composite ``forward`` ``:1927-2079``).
@@ -70,8 +71,9 @@ def train_forward(
     labels: (B, K, T) delay-pattern labels with -100 holes (see
     ``delay_pattern.build_delay_pattern_labels``).  ``train_key`` enables
     decoder dropout/layerdrop (the frozen text encoder always runs in eval
-    mode, like the reference's ``freeze_encoders``).  Returns (loss,
-    lm_logits).
+    mode, like the reference's ``freeze_encoders``).  ``remat`` enables
+    per-layer gradient checkpointing (reference ``gradient_checkpointing``,
+    ``modeling_parler_tts.py:921-933``).  Returns (loss, lm_logits).
     """
     dcfg = cfg.decoder
     enc_hidden = encode_text(params, cfg, input_ids, attention_mask, dtype=dtype)
@@ -95,6 +97,7 @@ def train_forward(
         encoder_attention_mask=attention_mask,
         attention_mask=fused_mask,
         train_key=train_key,
+        remat=remat,
         dtype=dtype,
     )
     lm_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=t)

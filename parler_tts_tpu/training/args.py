@@ -97,6 +97,10 @@ class TrainingArguments:
     eval_steps: int = 500
     save_total_limit: int | None = None
     group_by_length: bool = False  # reference LengthGroupedSampler (:1561-1562)
+    # reference training_args.gradient_checkpointing (:1038-1039) → per-layer
+    # remat: O(1 layer) activation HBM, ~1.3x step time, enables the large
+    # per-device batches the H100 recipe couldn't fit
+    gradient_checkpointing: bool = False
     seed: int = 42
     dtype: str = "bfloat16"
     resume_from_checkpoint: str | None = None

@@ -58,6 +58,7 @@ def make_train_step(
     *,
     dtype=jnp.bfloat16,
     dropout_seed: int | None = None,
+    remat: bool = False,
 ):
     """Returns ``step(state, frozen, batch) -> (state, metrics)``.
 
@@ -84,6 +85,7 @@ def make_train_step(
             labels=batch["labels"],
             decoder_attention_mask=batch.get("decoder_attention_mask"),
             train_key=train_key,
+            remat=remat,
             dtype=dtype,
         )
         return loss

@@ -1,0 +1,123 @@
+"""Standalone decoder-only generation (no text conditioning, no prompt) —
+token parity vs the reference's ``ParlerTTSForCausalLM`` step machinery
+(``/root/reference/parler_tts/modeling_parler_tts.py:1281-1552``; round-2
+VERDICT missing item 7)."""
+
+import numpy as np
+import pytest
+import torch
+
+from parler_tts_tpu.generation import generate as G
+from tests.test_generation import BOS, K, MAXLEN, PAD, build_models, ref
+
+
+def reference_decoder_only_loop(rdecoder, start_codes: np.ndarray | None, b: int,
+                                max_length: int = MAXLEN) -> np.ndarray:
+    """Greedy loop through the reference decoder's own
+    prepare_inputs_for_generation + forward (its legacy ``greedy_search``
+    call no longer exists in modern transformers, so the loop is driven by
+    hand — same step machinery, reference ``:1446-1527``)."""
+    with torch.no_grad():
+        input_ids = torch.full((b * K, 1), BOS, dtype=torch.long)
+        if start_codes is not None:
+            # audio continuation: codes follow the BOS frame (reference
+            # feeds them through the same delay-mask build, :1430-1437)
+            flat = torch.tensor(start_codes.reshape(b * K, -1), dtype=torch.long)
+            input_ids = torch.cat([input_ids, flat], dim=1)
+        input_ids, delay_mask = ref.build_delay_pattern_mask(
+            input_ids, BOS, PAD, max_length, K
+        )
+        kwargs = dict(delay_pattern_mask=delay_mask, use_cache=True)
+        # HF legacy greedy_search per-row EOS bookkeeping (what the
+        # reference's self.greedy_search call did, :1446-1527): finished rows
+        # emit pad; a row finishes on its RAW sampled token, before the delay
+        # mask re-forces BOS/PAD at the next step
+        unfinished = torch.ones(b * K, dtype=torch.long)
+        while input_ids.shape[1] < max_length:
+            inputs = rdecoder.prepare_inputs_for_generation(input_ids, **kwargs)
+            out = rdecoder(
+                **{k: v for k, v in inputs.items() if v is not None or k == "input_ids"},
+                return_dict=True,
+            )
+            next_tok = torch.argmax(out.logits[:, -1, :], dim=-1)
+            next_tok = next_tok * unfinished + PAD * (1 - unfinished)
+            input_ids = torch.cat([input_ids, next_tok[:, None]], dim=-1)
+            unfinished = unfinished * next_tok.ne(PAD).long()  # eos == PAD here
+            kwargs["past_key_values"] = out.past_key_values
+        final = ref.apply_delay_pattern_mask(input_ids, delay_mask)
+    return final.numpy().reshape(b, K, -1)
+
+
+@pytest.mark.parametrize("continuation_frames", [0, 3])
+def test_decoder_only_matches_reference(continuation_frames):
+    import dataclasses
+
+    import jax
+
+    from parler_tts_tpu.core.config import GenerationConfig
+
+    rmodel, cfg, params = build_models()
+    b = 2
+    start_codes = None
+    if continuation_frames:
+        rng = np.random.default_rng(3)
+        start_codes = rng.integers(0, 32, (b, K, continuation_frames))
+
+    ref_tokens = reference_decoder_only_loop(rmodel.decoder, start_codes, b)
+
+    gen = GenerationConfig(
+        max_length=MAXLEN, do_sample=False,
+        decoder_start_token_id=BOS, pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD,
+    )
+    out = G.generate_decoder_only(
+        params, cfg, gen,
+        decoder_input_codes=None if start_codes is None else start_codes,
+        batch_size=b,
+        key=jax.random.PRNGKey(0), vocode=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+def test_decoder_only_vocodes_waveform():
+    import jax
+
+    from parler_tts_tpu.core.config import GenerationConfig
+
+    _, cfg, params = build_models()
+    gen = GenerationConfig(
+        max_length=MAXLEN, do_sample=True, temperature=1.0,
+        decoder_start_token_id=BOS, pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD,
+    )
+    out = G.generate_decoder_only(
+        params, cfg, gen, batch_size=2, key=jax.random.PRNGKey(1), vocode=True,
+    )
+    assert out.audio.shape[0] == 2
+    assert out.audio.shape[1] == out.codes.shape[-1] * cfg.audio_encoder.hop_length
+
+
+def test_stereo_vocode_rejected():
+    """audio_channels == 2 (decoder streams 2K codebooks) has no vocode path
+    — in the reference either (its generate would feed 2K codebooks into the
+    K-codebook DAC, :2650-2663); we reject loudly instead (round-2 VERDICT
+    missing item 7)."""
+    import dataclasses
+
+    import jax
+
+    from parler_tts_tpu.core.config import GenerationConfig
+
+    _, cfg, params = build_models()
+    stereo_cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, audio_channels=2),
+    )
+    gen = GenerationConfig(
+        max_length=MAXLEN, do_sample=False,
+        decoder_start_token_id=BOS, pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD,
+    )
+    # simulate a stereo decoder: K codebooks vs a K/2-codebook codec
+    half_codec = dataclasses.replace(stereo_cfg.audio_encoder, num_codebooks=K // 2)
+    stereo_cfg = dataclasses.replace(stereo_cfg, audio_encoder=half_codec)
+    with pytest.raises(ValueError, match="stereo"):
+        G.generate_decoder_only(
+            params, stereo_cfg, gen, batch_size=1, key=jax.random.PRNGKey(0), vocode=True,
+        )

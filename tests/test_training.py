@@ -215,3 +215,95 @@ def test_train_cli_and_resume(tmp_path):
 
     params, cfg, gen = ck.load_model(os.path.join(out, "final"))
     assert "decoder" in params and "text_encoder" in params
+
+
+def test_remat_gradients_match():
+    """Per-layer gradient checkpointing (reference gradient_checkpointing,
+    modeling_parler_tts.py:921-933) recomputes the forward in the backward —
+    the loss and gradients must be identical to the non-remat step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parler_tts_tpu.core.config import dummy_config
+    from parler_tts_tpu.models import parler
+    from parler_tts_tpu.models.delay_pattern import build_delay_pattern_labels
+    from parler_tts_tpu.training import step as tstep
+
+    cfg = dummy_config()
+    params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
+    trainable, frozen = tstep.split_params(params)
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, (2, 9, 16))
+    labels = build_delay_pattern_labels(
+        codes, np.array([16, 12]), bos_token_id=1025, eos_token_id=1024, max_length=28
+    )
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, 32128, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int32),
+        prompt_input_ids=jnp.asarray(rng.integers(0, 32128, (2, 6))),
+        prompt_attention_mask=jnp.ones((2, 6), jnp.int32),
+        labels=jnp.asarray(labels),
+    )
+
+    def loss(tr, remat):
+        return parler.train_forward(
+            tstep.merge_params(tr, frozen), cfg, remat=remat, **batch
+        )[0]
+
+    l0, g0 = jax.value_and_grad(lambda tr: loss(tr, False))(trainable)
+    l1, g1 = jax.value_and_grad(lambda tr: loss(tr, True))(trainable)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (p0, a), (p1, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0), jax.tree_util.tree_leaves_with_path(g1)
+    ):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(p0))
+
+
+def test_remat_dropout_gradients_match():
+    """remat + dropout/layerdrop: the rematerialized forward must replay the
+    SAME dropout masks (jax.checkpoint threads PRNG salt correctly)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parler_tts_tpu.core.config import dummy_config
+    from parler_tts_tpu.models import parler
+    from parler_tts_tpu.models.delay_pattern import build_delay_pattern_labels
+    from parler_tts_tpu.training import step as tstep
+
+    cfg = dummy_config()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, dropout=0.1, layerdrop=0.2)
+    )
+    params = parler.init(jax.random.PRNGKey(1), cfg, with_audio_encoder=False)
+    trainable, frozen = tstep.split_params(params)
+
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 1024, (2, 9, 16))
+    labels = build_delay_pattern_labels(
+        codes, np.array([16, 12]), bos_token_id=1025, eos_token_id=1024, max_length=28
+    )
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, 32128, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int32),
+        prompt_input_ids=jnp.asarray(rng.integers(0, 32128, (2, 6))),
+        prompt_attention_mask=jnp.ones((2, 6), jnp.int32),
+        labels=jnp.asarray(labels),
+    )
+    key = jax.random.PRNGKey(7)
+
+    def loss(tr, remat):
+        return parler.train_forward(
+            tstep.merge_params(tr, frozen), cfg, remat=remat, train_key=key, **batch
+        )[0]
+
+    l0, g0 = jax.value_and_grad(lambda tr: loss(tr, False))(trainable)
+    l1, g1 = jax.value_and_grad(lambda tr: loss(tr, True))(trainable)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
