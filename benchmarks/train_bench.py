@@ -5,7 +5,7 @@ Measures the sharded jit train step (forward+backward+AdamW, frozen T5,
 pallas flash attention) and reports codec-tokens/s and audio-seconds of
 training data per second.
 
-Usage: python benchmarks/train_bench.py [--batch 3] [--seconds 10] [--steps 5] [--remat]
+Usage: python benchmarks/train_bench.py [--batch 3] [--seconds 10] [--steps 5] [--remat off|dots|full]
 Emits one JSON line (incl. analytic model-FLOPs MFU vs the v5e 197 TFLOP/s
 bf16 peak).
 """
@@ -49,16 +49,26 @@ def main():
     ap.add_argument("--batch", type=int, default=3)  # reference per-device bsz
     ap.add_argument("--seconds", type=float, default=10.0)  # audio per sample
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--remat", action="store_true",
-                    help="per-layer gradient checkpointing (reference "
-                         "gradient_checkpointing; fits batch>=16 x 30 s on 16 GB)")
+    ap.add_argument("--remat", default="off", choices=["off", "dots", "full"],
+                    help="per-layer gradient checkpointing: off | dots (save "
+                         "matmul outputs) | full (save only layer boundaries; "
+                         "the 16 GB-chip capacity unlock for batch>=8 x 10 s)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="ablation: XLA attention instead of the pallas flash kernel")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the timed steps")
     args = ap.parse_args()
+    remat = {"off": False, "dots": "dots", "full": True}[args.remat]
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from parler_tts_tpu.core.config import mini_600m_config
+    from parler_tts_tpu.ops import runtime_flags
+
+    if args.no_pallas:
+        runtime_flags.set_pallas(False)
     from parler_tts_tpu.models import parler
     from parler_tts_tpu.models.delay_pattern import build_delay_pattern_labels
     from parler_tts_tpu.training import optim, step as tstep
@@ -74,7 +84,7 @@ def main():
     tx = optim.make_optimizer(9.5e-4, warmup_steps=100)
     state, frozen = tstep.create_state(params, tx)
     train_step = jax.jit(
-        tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=args.remat),
+        tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=remat),
         donate_argnums=(0,),
     )
 
@@ -104,10 +114,15 @@ def main():
     # FLOPs, not hardware FLOPs).  v5e peak: 197 TFLOP/s bf16.
     flops = _train_step_model_flops(cfg, b, t_lab, desc_len=48, prompt_len=32)
 
+    import contextlib
+
+    from parler_tts_tpu.utils.profiling import trace
+
     t0 = time.time()
-    for _ in range(args.steps):
-        state, m = train_step(state, frozen, batch)
-    sync(m["loss"])
+    with trace(args.trace, perfetto=True) if args.trace else contextlib.nullcontext():
+        for _ in range(args.steps):
+            state, m = train_step(state, frozen, batch)
+        sync(m["loss"])
     dt = (time.time() - t0) / args.steps
 
     tokens = b * t_lab * cfg.decoder.num_codebooks

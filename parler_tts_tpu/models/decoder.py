@@ -638,7 +638,7 @@ def forward(
     prefill: bool = False,
     train_key: jnp.ndarray | None = None,
     auto_flush: bool = True,
-    remat: bool = False,
+    remat: bool | str = False,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
@@ -721,15 +721,21 @@ def forward(
 
     if cache is None:
         # gradient checkpointing (reference supports_gradient_checkpointing,
-        # :514, 921-933): remat each layer in the backward pass, keeping only
-        # the per-layer boundary activations live — O(1 layer) activation HBM
-        # instead of O(24).  dots_with_no_batch_dims_saveable keeps the matmul
-        # outputs (cheap to store, expensive to recompute) and recomputes the
-        # elementwise glue, the usual TPU sweet spot.
-        ckpt = (
-            (lambda f: jax.checkpoint(f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable))
-            if remat else (lambda f: f)
-        )
+        # :514, 921-933): remat each layer in the backward pass.  remat="dots"
+        # keeps per-layer matmul outputs (recomputes only elementwise glue —
+        # cheap recompute, but the saved (B,T,ffn) dot outputs still cost
+        # ~0.25 GB/layer at batch 32 x 10 s and OOM a 16 GB v5e); remat=True/
+        # "full" saves ONLY the layer-boundary activations — O(1 layer) HBM,
+        # ~1/3 extra FLOPs, and the capacity unlock that lets batch 32 x 30 s
+        # train on one chip.
+        if remat == "dots":
+            ckpt = lambda f: jax.checkpoint(
+                f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+        elif remat:
+            ckpt = jax.checkpoint
+        else:
+            ckpt = lambda f: f
         if train_key is None:
             @ckpt
             def scan_body(x, lp):

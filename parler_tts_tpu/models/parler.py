@@ -63,7 +63,7 @@ def train_forward(
     labels: jnp.ndarray,
     decoder_attention_mask: jnp.ndarray | None = None,
     train_key: jnp.ndarray | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced loss (reference composite ``forward`` ``:1927-2079``).

@@ -336,8 +336,25 @@ def _round8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
+# default tile sizes (env-overridable for on-chip experiments): the grid has
+# bh * ceil(Tq/bq) * ceil(Tk/bk) programs, and at D=64 the per-program dots
+# are tiny — per-program fixed cost dominates with small tiles.  Measured on
+# v5e, Mini train step batch 8 x 10 s (T=903), remat, 5-step medians:
+# 128x128 0.524 s/step (LOST to XLA's materialized attention, 0.358),
+# 256x256 0.360, 256x512 0.314, 512x512 0.297, 1024x1024 0.270 (33.6% MFU,
+# 1.33x over XLA; b4 x 30 s: 0.512 vs 1.033 XLA).  Blocks clamp to the
+# rounded sequence length, so 1024 means "whole sequence per program" at
+# 10 s shapes and 3x3 blocks at 30 s; VMEM caps growth past ~1024 (a
+# 2048-block score tile is 16 MB f32).  Compiled fwd/bwd parity re-verified
+# at the large blocks (benchmarks/pallas_compiled_parity.json).
+import os as _os
+
+_BLOCK_Q = int(_os.environ.get("PARLER_FLASH_BLOCK_Q", "1024"))
+_BLOCK_K = int(_os.environ.get("PARLER_FLASH_BLOCK_K", "1024"))
+
+
 def flash_attention_bhtd(q, k, v, kv_mask=None, *, scale, causal=True, q_offset=0,
-                         block_q=128, block_k=128, interpret=False):
+                         block_q=None, block_k=None, interpret=False):
     """(B, H, T, D) convenience wrapper.
 
     ``kv_mask`` (B, Tk): validity mask whose valid region must be one
@@ -346,8 +363,8 @@ def flash_attention_bhtd(q, k, v, kv_mask=None, *, scale, causal=True, q_offset=
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    block_q = min(block_q, _round8(tq))
-    block_k = min(block_k, _round8(tk))
+    block_q = min(block_q or _BLOCK_Q, _round8(tq))
+    block_k = min(block_k or _BLOCK_K, _round8(tk))
     if kv_mask is None:
         start = jnp.zeros((b,), jnp.int32)
         end = jnp.full((b,), tk, jnp.int32)

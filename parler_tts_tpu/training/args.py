@@ -98,9 +98,13 @@ class TrainingArguments:
     save_total_limit: int | None = None
     group_by_length: bool = False  # reference LengthGroupedSampler (:1561-1562)
     # reference training_args.gradient_checkpointing (:1038-1039) → per-layer
-    # remat: O(1 layer) activation HBM, ~1.3x step time, enables the large
-    # per-device batches the H100 recipe couldn't fit
+    # remat, the capacity unlock for per-device batches the 16 GB chip can't
+    # fit otherwise (batch >= 8 x 10 s).  policy "full" saves only layer
+    # boundaries (max capacity, needed for 30 s samples); "dots" also keeps
+    # matmul outputs (~4% faster when it fits — measured 306.7 vs 296
+    # audio-s/s at batch 8 x 10 s)
     gradient_checkpointing: bool = False
+    gradient_checkpointing_policy: str = "full"  # "full" | "dots"
     seed: int = 42
     dtype: str = "bfloat16"
     resume_from_checkpoint: str | None = None

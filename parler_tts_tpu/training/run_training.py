@@ -446,8 +446,11 @@ def main(argv: list[str] | None = None) -> dict:
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[train_args.dtype]
     train_step = jax.jit(
-        tstep.make_train_step(cfg, tx, dtype=dtype, dropout_seed=train_args.seed,
-                              remat=train_args.gradient_checkpointing),
+        tstep.make_train_step(
+            cfg, tx, dtype=dtype, dropout_seed=train_args.seed,
+            remat=("dots" if train_args.gradient_checkpointing_policy == "dots" else True)
+            if train_args.gradient_checkpointing else False,
+        ),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(tstep.make_eval_step(cfg, dtype=dtype))

@@ -58,7 +58,7 @@ def make_train_step(
     *,
     dtype=jnp.bfloat16,
     dropout_seed: int | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
 ):
     """Returns ``step(state, frozen, batch) -> (state, metrics)``.
 

@@ -23,9 +23,11 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
-    """Capture a jax.profiler trace viewable in XProf/TensorBoard."""
-    jax.profiler.start_trace(logdir)
+def trace(logdir: str, perfetto: bool = False):
+    """Capture a jax.profiler trace viewable in XProf/TensorBoard.
+    ``perfetto=True`` additionally writes a plain-JSON perfetto trace
+    (machine-parseable without the TensorBoard profile plugin)."""
+    jax.profiler.start_trace(logdir, create_perfetto_trace=perfetto)
     try:
         yield
     finally:

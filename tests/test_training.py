@@ -217,10 +217,15 @@ def test_train_cli_and_resume(tmp_path):
     assert "decoder" in params and "text_encoder" in params
 
 
-def test_remat_gradients_match():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", [True, "dots"])
+def test_remat_gradients_match(mode):
     """Per-layer gradient checkpointing (reference gradient_checkpointing,
     modeling_parler_tts.py:921-933) recomputes the forward in the backward —
-    the loss and gradients must be identical to the non-remat step."""
+    the loss and gradients must be identical to the non-remat step, for both
+    the full (save-boundaries) and dots-saveable policies."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -253,7 +258,7 @@ def test_remat_gradients_match():
         )[0]
 
     l0, g0 = jax.value_and_grad(lambda tr: loss(tr, False))(trainable)
-    l1, g1 = jax.value_and_grad(lambda tr: loss(tr, True))(trainable)
+    l1, g1 = jax.value_and_grad(lambda tr: loss(tr, mode))(trainable)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for (p0, a), (p1, b) in zip(
         jax.tree_util.tree_leaves_with_path(g0), jax.tree_util.tree_leaves_with_path(g1)
