@@ -22,7 +22,9 @@ estimate, documented here and held constant across rounds for comparability.
 ``p50_latency_10s_utterance_s`` is a MEASURED batch-1 greedy 10 s-utterance
 wall time (BASELINE config 1), not a scaled throughput number.
 
-Env knobs: BENCH_BATCH (default 64), BENCH_SECONDS (default 3 s of audio),
+Env knobs: BENCH_BATCH (default 128 — measured sweep: 84.3 audio-s/s at
+batch 64, 91.2 at 128, 94.4 at 256, but 256's cold compile is 200 s+ vs 54 s;
+128 is the throughput/compile sweet spot), BENCH_SECONDS (default 3 s of audio),
 BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC,
 BENCH_LATENCY=0 to skip the batch-1 latency config.
 
@@ -44,7 +46,7 @@ A100_BASELINE_AUDIO_S_PER_S = 2.6  # documented estimate, see module docstring
 
 def main():
     attempts = [
-        (int(os.environ.get("BENCH_BATCH", 64)), float(os.environ.get("BENCH_SECONDS", 3.0))),
+        (int(os.environ.get("BENCH_BATCH", 128)), float(os.environ.get("BENCH_SECONDS", 3.0))),
         (32, 3.0),
         (4, 2.0),
     ]

@@ -37,6 +37,8 @@ def main() -> int:
                     help="argmax decode (ablates the sampler: no top-k, no categorical)")
     ap.add_argument("--top-k", type=int, default=50,
                     help="top-k for sampling (0 disables the top-k warper)")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace (perfetto) of the timed reps")
     args = ap.parse_args()
 
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
@@ -95,12 +97,17 @@ def main() -> int:
     compile_s = time.time() - t0
     print(f"compile+first {compile_s:.1f}s, {steps} steps", file=sys.stderr)
 
+    import contextlib
+
+    from parler_tts_tpu.utils.profiling import trace
+
     times = []
-    for i in range(args.reps):
-        t0 = time.time()
-        s, t_final = run(params, jax.random.PRNGKey(2 + i))
-        _ = int(s)  # sync (block_until_ready unreliable through tunnel)
-        times.append(time.time() - t0)
+    with trace(args.trace, perfetto=True) if args.trace else contextlib.nullcontext():
+        for i in range(args.reps):
+            t0 = time.time()
+            s, t_final = run(params, jax.random.PRNGKey(2 + i))
+            _ = int(s)  # sync (block_until_ready unreliable through tunnel)
+            times.append(time.time() - t0)
     median = float(np.median(times))
 
     stats = {}
