@@ -13,10 +13,11 @@ import argparse
 import html
 import json
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs
 
 from parler_tts_tpu.pipeline import ParlerTTSPipeline
+from parler_tts_tpu.serving import BatchingEngine
 from parler_tts_tpu.utils.audio_io import wav_bytes
 
 DEFAULT_DESCRIPTION = (
@@ -39,8 +40,20 @@ FORM = """<!doctype html><title>Parler-TTS (TPU)</title>
 
 
 def run_http(pipe: ParlerTTSPipeline, port: int):
+    # concurrent requests coalesce into batched generate calls (decode step
+    # cost is nearly flat in batch on TPU — see parler_tts_tpu/serving);
+    # the threading server lets requests overlap so the batcher can group them
+    engine = BatchingEngine(pipe)
+
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if self.path == "/stats":
+                body = json.dumps(engine.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self._page("")
 
         def do_POST(self):
@@ -51,16 +64,16 @@ def run_http(pipe: ParlerTTSPipeline, port: int):
             seed = int(q.get("seed", ["0"])[0])
             secs = float(q.get("max_seconds", ["10"])[0])
             if self.path == "/api":
-                sr, wavs = pipe.tts(desc, prompt, seed=seed, max_seconds=secs)
+                sr, wav = engine.tts(desc, prompt, seed=seed, max_seconds=secs)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.end_headers()
-                self.wfile.write(wav_bytes(wavs[0], sr))
+                self.wfile.write(wav_bytes(wav, sr))
                 return
-            sr, wavs = pipe.tts(desc, prompt, seed=seed, max_seconds=secs)
+            sr, wav = engine.tts(desc, prompt, seed=seed, max_seconds=secs)
             import base64
 
-            b64 = base64.b64encode(wav_bytes(wavs[0], sr)).decode()
+            b64 = base64.b64encode(wav_bytes(wav, sr)).decode()
             audio_tag = f'<audio controls src="data:audio/wav;base64,{b64}"></audio>'
             self._page(audio_tag, desc=desc, prompt=prompt)
 
@@ -74,8 +87,8 @@ def run_http(pipe: ParlerTTSPipeline, port: int):
         def log_message(self, *a):
             pass
 
-    print(f"serving on http://0.0.0.0:{port}  (POST /api returns raw WAV)")
-    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+    print(f"serving on http://0.0.0.0:{port}  (POST /api returns raw WAV; GET /stats)")
+    ThreadingHTTPServer(("0.0.0.0", port), Handler).serve_forever()
 
 
 def run_gradio(pipe: ParlerTTSPipeline, port: int):  # pragma: no cover

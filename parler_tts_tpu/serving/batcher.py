@@ -1,0 +1,201 @@
+"""Dynamic micro-batching for TTS serving.
+
+The reference's only serving surface is a batch-1 gradio callback
+(``/root/reference/helpers/gradio_demo/app.py:39-49``) — every request pays a
+full solo decode.  On TPU the decode step cost is nearly flat in batch (the
+per-step glue amortizes: 84→91→94 audio-s/s at batch 64/128/256,
+PERFORMANCE.md), so concurrent requests should ride ONE decode loop.  This is
+the standard XLA-friendly alternative to GPU-style continuous batching:
+requests are coalesced into static-shape batch buckets (each bucket is one
+cached compilation, reused forever) rather than spliced into a running loop
+with dynamic shapes.
+
+``BatchingEngine`` wraps a :class:`~parler_tts_tpu.pipeline.ParlerTTSPipeline`
+with a request queue + single worker thread (one process owns the chip; all
+device work stays on one thread):
+
+* ``submit()`` returns a ``concurrent.futures.Future`` immediately;
+  ``tts()`` is the blocking convenience.
+* The worker takes the oldest request, then drains compatible requests for up
+  to ``max_wait_ms`` (batching window) or until ``max_batch``.
+* Compatible = same generation-length bucket: a 3 s request never pays a
+  30 s decode; per-sample EOS trimming inside ``generate`` handles intra-
+  bucket length variance (finished streams emit PAD and are trimmed by
+  ``audio_lengths``).
+* The batch is padded UP to a batch-size bucket by repeating the first
+  request's inputs (one compilation per bucket; extra rows are dropped), and
+  descriptions/prompts are length-bucketed by the pipeline itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Request:
+    description: str
+    prompt: str
+    max_seconds: float | None
+    seed: int
+    future: Future
+
+
+def _batch_bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class BatchingEngine:
+    """Coalesces concurrent TTS requests into batched generate calls.
+
+    Args:
+      pipeline: a ``ParlerTTSPipeline`` (owns params/config/tokenizers).
+      max_batch: hard cap on requests per device call.
+      max_wait_ms: batching window after the first request is picked up.
+      batch_buckets: allowed device batch sizes (each is one compilation).
+      length_bucket_seconds: requested durations round up to one of these, and
+        only same-bucket requests batch together.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        *,
+        max_batch: int = 32,
+        max_wait_ms: float = 30.0,
+        batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+        length_bucket_seconds: tuple[float, ...] = (5.0, 10.0, 30.0),
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.length_bucket_seconds = tuple(sorted(length_bucket_seconds))
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._pending: list[_Request] = []  # drained-but-deferred (other buckets)
+        self._stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
+        self._shutdown = False
+        self._worker.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, description: str, prompt: str, *, max_seconds: float | None = None,
+               seed: int = 0) -> Future:
+        """Enqueue one request; resolves to (sampling_rate, waveform)."""
+        if self._shutdown:
+            raise RuntimeError("engine is shut down")
+        fut: Future = Future()
+        self._queue.put(_Request(description, prompt, max_seconds, seed, fut))
+        with self._lock:
+            self._stats["requests"] += 1
+        return fut
+
+    def tts(self, description: str, prompt: str, *, max_seconds: float | None = None,
+            seed: int = 0, timeout: float | None = None):
+        return self.submit(description, prompt, max_seconds=max_seconds, seed=seed).result(timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return dict(self._stats)
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._shutdown = True
+        self._queue.put(None)
+        if wait:
+            self._worker.join(timeout=30)
+
+    # -- worker -------------------------------------------------------------
+
+    def _length_bucket(self, r: _Request) -> float:
+        gen_max_s = self.pipeline.gen.max_length / self.pipeline.cfg.frame_rate
+        want = r.max_seconds if r.max_seconds is not None else gen_max_s
+        for s in self.length_bucket_seconds:
+            if want <= s:
+                return min(s, gen_max_s)
+        return gen_max_s
+
+    def _take_batch(self) -> list[_Request] | None:
+        """Oldest request + compatible followers within the window."""
+        while True:
+            if self._pending:
+                first = self._pending.pop(0)
+            else:
+                item = self._queue.get()
+                if item is None:
+                    return None
+                first = item
+            bucket = self._length_bucket(first)
+            group = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            leftovers: list[_Request] = []
+            while len(group) < self.max_batch:
+                # same-bucket requests already deferred from earlier windows
+                taken = [r for r in self._pending if self._length_bucket(r) == bucket]
+                for r in taken[: self.max_batch - len(group)]:
+                    self._pending.remove(r)
+                    group.append(r)
+                if len(group) >= self.max_batch:
+                    break
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._queue.put(None)  # re-signal shutdown for the outer loop
+                    break
+                if self._length_bucket(item) == bucket:
+                    group.append(item)
+                else:
+                    leftovers.append(item)
+            self._pending.extend(leftovers)
+            return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._take_batch()
+            if group is None:
+                # drain: fail whatever is left so callers don't hang
+                for r in self._pending:
+                    r.future.set_exception(RuntimeError("engine shut down"))
+                return
+            try:
+                self._execute(group)
+            except Exception as e:  # propagate to every caller in the batch
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _execute(self, group: list[_Request]) -> None:
+        n = len(group)
+        bucket = _batch_bucket(n, self.batch_buckets)
+        # pad the request list to the batch bucket by repeating the first
+        # request (one compilation per bucket; extra rows are dropped)
+        padded = group + [group[0]] * (bucket - n)
+        descs = [r.description for r in padded]
+        prompts = [r.prompt for r in padded]
+        max_seconds = self._length_bucket(group[0])
+        # one key per batch: fold every request seed in so distinct seeds
+        # still decorrelate (a per-row key split happens inside sampling)
+        seed = 0
+        for r in group:
+            seed = (seed * 1000003 + r.seed) & 0x7FFFFFFF
+        sr, waves = self.pipeline.tts(descs, prompts, seed=seed, max_seconds=max_seconds)
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batched_requests"] += n
+        for r, wav in zip(group, waves):
+            r.future.set_result((sr, np.asarray(wav)))

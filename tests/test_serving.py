@@ -1,0 +1,68 @@
+"""Dynamic micro-batching serving engine: concurrent requests coalesce into
+one batched generate call (the reference's demo serves batch-1 only,
+``helpers/gradio_demo/app.py:39-49``)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from parler_tts_tpu.pipeline import ParlerTTSPipeline
+from parler_tts_tpu.serving import BatchingEngine
+from tests.test_pipeline import artifact  # noqa: F401  (fixture re-export)
+
+
+@pytest.fixture()
+def engine(artifact):  # noqa: F811
+    model_dir, tok_dir = artifact
+    pipe = ParlerTTSPipeline.from_pretrained(model_dir, tokenizer_name=tok_dir)
+    eng = BatchingEngine(pipe, max_batch=8, max_wait_ms=150.0,
+                         batch_buckets=(1, 2, 4, 8),
+                         length_bucket_seconds=(0.005, 0.01))
+    yield eng
+    eng.shutdown()
+
+
+def test_concurrent_requests_coalesce(engine):
+    futs = [
+        engine.submit(f"a female speaker voice {i}", "hey how are you", seed=i)
+        for i in range(4)
+    ]
+    results = [f.result(timeout=300) for f in futs]
+    for sr, wav in results:
+        assert sr == 16000
+        assert wav.ndim == 1
+    stats = engine.stats()
+    assert stats["requests"] == 4
+    # the 150 ms window must have coalesced at least some of the burst
+    assert stats["batches"] < 4, stats
+
+
+def test_results_are_per_request(engine):
+    # two requests with visibly different prompt lengths; each caller gets a
+    # waveform (lengths may coincide on the random model, so just check
+    # every future resolves independently with its own array)
+    f1 = engine.submit("clear audio quality", "hey", max_seconds=0.005)
+    f2 = engine.submit("a low pitched voice", "how are you doing today", max_seconds=0.005)
+    (sr1, w1), (sr2, w2) = f1.result(300), f2.result(300)
+    assert sr1 == sr2 == 16000
+    assert isinstance(w1, np.ndarray) and isinstance(w2, np.ndarray)
+
+
+def test_length_buckets_do_not_mix(engine):
+    f_short = engine.submit("clear audio", "hey", max_seconds=0.004)
+    f_long = engine.submit("clear audio", "hey", max_seconds=0.01)
+    f_short.result(300), f_long.result(300)
+    stats = engine.stats()
+    assert stats["batches"] >= 2, "different length buckets must not share a batch"
+
+
+def test_blocking_tts_and_shutdown(artifact):  # noqa: F811
+    model_dir, tok_dir = artifact
+    pipe = ParlerTTSPipeline.from_pretrained(model_dir, tokenizer_name=tok_dir)
+    eng = BatchingEngine(pipe, max_wait_ms=5.0, length_bucket_seconds=(0.005,))
+    sr, wav = eng.tts("clear audio", "hey how are you", timeout=300)
+    assert sr == 16000 and wav.ndim == 1
+    eng.shutdown()
+    with pytest.raises(RuntimeError):
+        eng.submit("x", "y")
