@@ -728,12 +728,16 @@ def forward(
         # "full" saves ONLY the layer-boundary activations — O(1 layer) HBM,
         # ~1/3 extra FLOPs, and the capacity unlock that lets batch 32 x 30 s
         # train on one chip.
+        # prevent_cse=False is the documented setting for remat under
+        # lax.scan (the CSE-prevention machinery is unnecessary there and
+        # costs real time)
         if remat == "dots":
             ckpt = lambda f: jax.checkpoint(
-                f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                f, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
         elif remat:
-            ckpt = jax.checkpoint
+            ckpt = lambda f: jax.checkpoint(f, prevent_cse=False)
         else:
             ckpt = lambda f: f
         if train_key is None:
