@@ -24,7 +24,11 @@ wall time (BASELINE config 1), not a scaled throughput number.
 
 Env knobs: BENCH_BATCH (default 128 — measured sweep: 84.3 audio-s/s at
 batch 64, 91.2 at 128, 94.4 at 256, but 256's cold compile is 200 s+ vs 54 s;
-128 is the throughput/compile sweet spot), BENCH_SECONDS (default 3 s of audio),
+128 is the throughput/compile sweet spot).  The default headline shape
+(batch 128, 3 s, int8, sampled top-k 50 + batch-1 greedy 10 s latency) is
+FROZEN as of round 4: the persistent XLA cache is pre-populated for exactly
+these two programs, and changing any default re-pays a ~400 s driver-visible
+cold compile (the round-3 mistake).  BENCH_SECONDS (default 3 s of audio),
 BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC,
 BENCH_LATENCY=0 to skip the batch-1 latency config.
 
@@ -83,8 +87,30 @@ def _cache_entries(cache_dir):
         return 0
 
 
+def _host_load():
+    """1-min load average / cores.  Cold-start numbers are CPU-contention
+    sensitive (measured 58 s idle vs 813 s with a pytest suite saturating the
+    host — PERFORMANCE.md 'Compile / cold start'); surface the conditions a
+    measurement was taken under instead of silently recording garbage."""
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        return round(load1, 2), ncpu
+    except OSError:
+        return None, None
+
+
 def run_bench(batch: int, seconds: float):
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
+
+    load1, ncpu = _host_load()
+    if load1 is not None and load1 > 0.5 * ncpu:
+        print(
+            f"WARNING: host is busy (load {load1} on {ncpu} cores) — compile_s "
+            f"and warm timings will be inflated; re-run on an idle host "
+            f"(do not overlap the pytest suite, PERFORMANCE.md)",
+            file=sys.stderr,
+        )
 
     cache_dir = enable_persistent_cache()
     # surface persistent-cache hits/misses: a "cold" 5-min compile with a warm
@@ -180,6 +206,8 @@ def run_bench(batch: int, seconds: float):
         "decode_steps": frames,
         "compile_s": round(compile_s, 1),
     }
+    if load1 is not None:
+        result["host_load1"] = load1
 
     if measure_latency:
         # BASELINE config 1: single utterance, greedy, vocoded — measured

@@ -8,6 +8,7 @@ Public API mirrors the reference package surface
 from parler_tts_tpu.core.config import (
     DACConfig,
     DecoderConfig,
+    EncodecConfig,
     GenerationConfig,
     ParlerTTSConfig,
     T5EncoderConfig,
@@ -26,6 +27,7 @@ __version__ = "0.1.0"
 __all__ = [
     "DACConfig",
     "DecoderConfig",
+    "EncodecConfig",
     "GenerationConfig",
     "ParlerTTSConfig",
     "T5EncoderConfig",

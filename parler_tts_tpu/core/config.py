@@ -72,6 +72,7 @@ class DACConfig:
     (``/root/reference/parler_tts/dac_wrapper/modeling_dac.py:19-23``).
     """
 
+    codec_type: str = "dac"  # discriminator for codec pluggability
     num_codebooks: int = 9
     model_bitrate: int = 8  # kbps
     codebook_size: int = 1024
@@ -98,6 +99,98 @@ class DACConfig:
 
     to_dict = _asdict
     from_dict = classmethod(_fromdict)
+
+
+@dataclass(frozen=True)
+class EncodecConfig:
+    """Meta EnCodec neural codec hyper-parameters (defaults =
+    ``facebook/encodec_24khz``).
+
+    The reference proves codec pluggability by swapping EnCodec in for DAC
+    through the HF Auto registry
+    (``/root/reference/helpers/model_init_scripts/init_dummy_model_with_encodec.py:11-18``,
+    ``/root/reference/parler_tts/modeling_parler_tts.py:1854-1879``); here the
+    same capability is a second first-class codec family (``models/encodec.py``)
+    selected by ``codec_type``.  Field semantics mirror HF
+    ``transformers.EncodecConfig``.
+    """
+
+    codec_type: str = "encodec"
+    target_bandwidths: tuple[float, ...] = (1.5, 3.0, 6.0, 12.0, 24.0)
+    sampling_rate: int = 24000
+    audio_channels: int = 1
+    normalize: bool = False
+    chunk_length_s: float | None = None
+    overlap: float | None = None
+    hidden_size: int = 128
+    num_filters: int = 32
+    num_residual_layers: int = 1
+    upsampling_ratios: tuple[int, ...] = (8, 5, 4, 2)
+    norm_type: str = "weight_norm"  # or "time_group_norm" (48 kHz model)
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_growth_rate: int = 2
+    use_causal_conv: bool = True
+    pad_mode: str = "reflect"
+    compress: int = 2
+    num_lstm_layers: int = 2
+    trim_right_ratio: float = 1.0
+    codebook_size: int = 1024
+    codebook_dim: int | None = None  # None -> hidden_size
+    use_conv_shortcut: bool = True
+    # how many codebook streams the composite's decoder LM models; EnCodec
+    # itself carries num_quantizers codebooks and its RVQ decode sums however
+    # many streams it is given (the reference dummy uses 8 of 32 at 24 kHz)
+    num_codebooks: int | None = None  # None -> num_quantizers
+
+    def __post_init__(self):
+        object.__setattr__(self, "target_bandwidths", tuple(self.target_bandwidths))
+        object.__setattr__(self, "upsampling_ratios", tuple(self.upsampling_ratios))
+        if self.codebook_dim is None:
+            object.__setattr__(self, "codebook_dim", self.hidden_size)
+        if self.num_codebooks is None:
+            object.__setattr__(self, "num_codebooks", self.num_quantizers)
+        if self.norm_type not in ("weight_norm", "time_group_norm"):
+            raise ValueError(f"norm_type must be weight_norm|time_group_norm, got {self.norm_type}")
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsampling_ratios:
+            out *= r
+        return out
+
+    @property
+    def frame_rate(self) -> int:
+        return -(-self.sampling_rate // self.hop_length)  # ceil
+
+    @property
+    def codebook_nbits(self) -> int:
+        return max(1, (self.codebook_size - 1).bit_length())
+
+    @property
+    def num_quantizers(self) -> int:
+        """Total codebooks the model carries (HF ``EncodecConfig.num_quantizers``)."""
+        return int(1000 * self.target_bandwidths[-1] // (self.frame_rate * self.codebook_nbits))
+
+    @property
+    def chunk_length(self) -> int | None:
+        return None if self.chunk_length_s is None else int(self.chunk_length_s * self.sampling_rate)
+
+    @property
+    def chunk_stride(self) -> int | None:
+        if self.chunk_length_s is None or self.overlap is None:
+            return None
+        return max(1, int((1.0 - self.overlap) * self.chunk_length))
+
+    to_dict = _asdict
+    from_dict = classmethod(_fromdict)
+
+
+def _codec_from_dict(d: dict):
+    cls = EncodecConfig if d.get("codec_type") == "encodec" else DACConfig
+    return cls.from_dict(d)
 
 
 @dataclass(frozen=True)
@@ -153,14 +246,14 @@ class ParlerTTSConfig:
 
     vocab_size: int = 32128
     text_encoder: T5EncoderConfig = field(default_factory=T5EncoderConfig)
-    audio_encoder: DACConfig = field(default_factory=DACConfig)
+    audio_encoder: "DACConfig | EncodecConfig" = field(default_factory=DACConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
 
     def __post_init__(self):
         if isinstance(self.text_encoder, dict):
             object.__setattr__(self, "text_encoder", T5EncoderConfig.from_dict(self.text_encoder))
         if isinstance(self.audio_encoder, dict):
-            object.__setattr__(self, "audio_encoder", DACConfig.from_dict(self.audio_encoder))
+            object.__setattr__(self, "audio_encoder", _codec_from_dict(self.audio_encoder))
         if isinstance(self.decoder, dict):
             object.__setattr__(self, "decoder", DecoderConfig.from_dict(self.decoder))
 

@@ -157,6 +157,11 @@ def _conv_weight(sd: Mapping[str, Array], name: str) -> np.ndarray:
     """
     if f"{name}.weight" in sd:
         return _np(sd[f"{name}.weight"])
+    if f"{name}.weight_g" in sd:  # pre-parametrizations torch weight_norm
+        g = _np(sd[f"{name}.weight_g"]).astype(np.float64)
+        v = _np(sd[f"{name}.weight_v"]).astype(np.float64)
+        norm = np.sqrt(np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
+        return (g * v / norm).astype(np.float32)
     g = _np(sd[f"{name}.parametrizations.weight.original0"]).astype(np.float64)
     v = _np(sd[f"{name}.parametrizations.weight.original1"]).astype(np.float64)
     norm = np.sqrt(np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
@@ -243,6 +248,93 @@ def import_dac(sd: Mapping[str, Array], num_down: int = 4, num_up: int = 4, num_
             ),
             "bias": np.stack([_np(sd[f"quantizer.quantizers.{k}.out_proj.bias"]) for k in range(num_codebooks)]),
         },
+    }
+    return {"encoder": encoder, "decoder": decoder, "quantizer": quantizer}
+
+
+def import_encodec(sd: Mapping[str, Array], cfg) -> dict:
+    """HF ``transformers.EncodecModel`` state_dict → models/encodec.py params.
+
+    The HF module lists interleave parameter-free ``nn.ELU`` entries, so the
+    flat ``encoder.layers.{i}`` / ``decoder.layers.{i}`` indices are walked
+    with the same loop structure HF builds them with (``EncodecEncoder`` /
+    ``EncodecDecoder``).  Weight-norm is folded; ``bias_ih + bias_hh`` of each
+    LSTM layer fold into one bias.  ``cfg`` is a
+    ``parler_tts_tpu.core.config.EncodecConfig``.
+    """
+    gn = cfg.norm_type == "time_group_norm"
+
+    def conv(name: str) -> dict:
+        p = _conv(sd, f"{name}.conv")
+        if gn:
+            p["norm"] = _ln(sd, f"{name}.norm")
+        return p
+
+    def conv_t(name: str) -> dict:
+        p = _conv_t(sd, f"{name}.conv")
+        if gn:
+            p["norm"] = _ln(sd, f"{name}.norm")
+        return p
+
+    def res(name: str) -> dict:
+        # EncodecResnetBlock.block = [ELU, conv, ELU, conv] — convs at 1, 3
+        p = {"conv1": conv(f"{name}.block.1"), "conv2": conv(f"{name}.block.3")}
+        if cfg.use_conv_shortcut:
+            p["shortcut"] = conv(f"{name}.shortcut")
+        return p
+
+    def lstm(name: str) -> list[dict]:
+        out = []
+        for k in range(cfg.num_lstm_layers):
+            out.append(
+                {
+                    "wi": _np(sd[f"{name}.weight_ih_l{k}"]).T,  # (C, 4H)
+                    "wh": _np(sd[f"{name}.weight_hh_l{k}"]).T,  # (H, 4H)
+                    "bias": _np(sd[f"{name}.bias_ih_l{k}"]) + _np(sd[f"{name}.bias_hh_l{k}"]),
+                }
+            )
+        return out
+
+    i = 0
+    encoder: dict = {"conv_in": conv(f"encoder.layers.{i}")}
+    i += 1
+    blocks = []
+    for _ratio in reversed(cfg.upsampling_ratios):
+        rs = []
+        for _ in range(cfg.num_residual_layers):
+            rs.append(res(f"encoder.layers.{i}"))
+            i += 1
+        i += 1  # ELU
+        blocks.append({"res": rs, "conv_down": conv(f"encoder.layers.{i}")})
+        i += 1
+    encoder["blocks"] = blocks
+    encoder["lstm"] = lstm(f"encoder.layers.{i}.lstm")
+    i += 2  # lstm, ELU
+    encoder["conv_out"] = conv(f"encoder.layers.{i}")
+
+    i = 0
+    decoder: dict = {"conv_in": conv(f"decoder.layers.{i}")}
+    i += 1
+    decoder["lstm"] = lstm(f"decoder.layers.{i}.lstm")
+    i += 1
+    blocks = []
+    for _ratio in cfg.upsampling_ratios:
+        i += 1  # ELU
+        up = conv_t(f"decoder.layers.{i}")
+        i += 1
+        rs = []
+        for _ in range(cfg.num_residual_layers):
+            rs.append(res(f"decoder.layers.{i}"))
+            i += 1
+        blocks.append({"conv_up": up, "res": rs})
+    decoder["blocks"] = blocks
+    i += 1  # ELU
+    decoder["conv_out"] = conv(f"decoder.layers.{i}")
+
+    quantizer = {
+        "codebooks": np.stack(
+            [_np(sd[f"quantizer.layers.{k}.codebook.embed"]) for k in range(cfg.num_quantizers)]
+        )
     }
     return {"encoder": encoder, "decoder": decoder, "quantizer": quantizer}
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from parler_tts_tpu.core.config import GenerationConfig, ParlerTTSConfig
-from parler_tts_tpu.models import dac as dac_mod
+from parler_tts_tpu.models import codec as codec_mod
 from parler_tts_tpu.models import decoder as decoder_mod
 from parler_tts_tpu.models import parler
 from parler_tts_tpu.models.delay_pattern import build_delay_pattern, undelay_pattern
@@ -373,7 +373,7 @@ def generate(
     """
     if input_values is not None:
         assert decoder_input_codes is None
-        decoder_input_codes = dac_mod.encode(
+        decoder_input_codes = codec_mod.encode(
             params["audio_encoder"], cfg.audio_encoder, input_values
         )
     if (
@@ -414,7 +414,7 @@ def _finalize(params: Params, cfg: ParlerTTSConfig, tokens: jnp.ndarray, *,
                 f"{cfg.decoder.audio_channels}); no stereo vocode path exists "
                 "(the torch reference has none either) — use vocode=False"
             )
-        audio = dac_mod.decode(
+        audio = codec_mod.decode(
             params["audio_encoder"], cfg.audio_encoder, codes,
             dtype=None if dtype == jnp.float32 else dtype,
         )
@@ -447,7 +447,7 @@ def generate_decoder_only(
     model free-runs from BOS (pass ``batch_size``)."""
     if input_values is not None:
         assert decoder_input_codes is None
-        decoder_input_codes = dac_mod.encode(
+        decoder_input_codes = codec_mod.encode(
             params["audio_encoder"], cfg.audio_encoder, input_values
         )
     if decoder_input_codes is None:

@@ -34,7 +34,7 @@ from jax import lax
 from parler_tts_tpu.core.config import GenerationConfig, ParlerTTSConfig
 from parler_tts_tpu.generation import sampling
 from parler_tts_tpu.generation.generate import DecodeState, _decoder_rows
-from parler_tts_tpu.models import dac as dac_mod
+from parler_tts_tpu.models import codec as codec_mod
 from parler_tts_tpu.models import decoder as decoder_mod
 from parler_tts_tpu.models import parler
 from parler_tts_tpu.models.delay_pattern import build_delay_pattern, undelay_pattern
@@ -207,7 +207,7 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
     if vocode:
         @jax.jit
         def vocode_window(params, codes_win):
-            return dac_mod.decode(
+            return codec_mod.decode(
                 params["audio_encoder"], cfg.audio_encoder, codes_win,
                 dtype=None if dtype == jnp.float32 else dtype,
             )
@@ -247,7 +247,7 @@ def stream_generate(
         prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
     if input_values is not None:
         assert decoder_input_codes is None
-        decoder_input_codes = dac_mod.encode(
+        decoder_input_codes = codec_mod.encode(
             params["audio_encoder"], cfg.audio_encoder, input_values
         )
     if (

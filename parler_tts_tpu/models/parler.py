@@ -107,8 +107,9 @@ def train_forward(
 
 def init(key, cfg: ParlerTTSConfig, *, with_audio_encoder: bool = True) -> Params:
     """From-scratch init mirroring ``helpers/model_init_scripts`` assembly
-    (decoder randomly initialized; T5/DAC would normally be imported)."""
-    from parler_tts_tpu.models import dac as dac_mod
+    (decoder randomly initialized; T5/codec would normally be imported).
+    The codec family (DAC or EnCodec) follows ``cfg.audio_encoder``."""
+    from parler_tts_tpu.models import codec as codec_mod
 
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params: Params = {
@@ -124,7 +125,7 @@ def init(key, cfg: ParlerTTSConfig, *, with_audio_encoder: bool = True) -> Param
             "bias": jnp.zeros((cfg.decoder.hidden_size,)),
         }
     if with_audio_encoder:
-        params["audio_encoder"] = dac_mod.init(k5, cfg.audio_encoder)
+        params["audio_encoder"] = codec_mod.init(k5, cfg.audio_encoder)
     return params
 
 
@@ -156,14 +157,12 @@ def import_composite(sd, cfg: ParlerTTSConfig) -> Params:
         }
     # codec weights: the reference's DACModel wrapper nests the descript
     # model under ``audio_encoder.model.*``; checkpoints assembled with the
-    # HF-native ``DacModel`` (same architecture, transformers' port) put the
-    # identical tensors directly under ``audio_encoder.*``
-    dac_sd = ti.strip_prefix(sd, "audio_encoder.model") or ti.strip_prefix(sd, "audio_encoder")
-    if dac_sd:
-        params["audio_encoder"] = ti.import_dac(
-            dac_sd,
-            num_down=len(cfg.audio_encoder.downsampling_ratios),
-            num_up=len(cfg.audio_encoder.upsampling_ratios),
-            num_codebooks=cfg.audio_encoder.num_codebooks,
-        )
+    # HF-native ``DacModel`` / ``EncodecModel`` (the encodec dummy assembly,
+    # reference ``init_dummy_model_with_encodec.py``) put the identical
+    # tensors directly under ``audio_encoder.*``
+    from parler_tts_tpu.models import codec as codec_mod
+
+    codec_sd = ti.strip_prefix(sd, "audio_encoder.model") or ti.strip_prefix(sd, "audio_encoder")
+    if codec_sd:
+        params["audio_encoder"] = codec_mod.import_torch(codec_sd, cfg.audio_encoder)
     return params

@@ -190,9 +190,9 @@ def tokenize_audio_batches(
     """
     import jax
 
-    from parler_tts_tpu.models import dac as dac_mod
+    from parler_tts_tpu.models import codec as codec_mod
 
-    encode = jax.jit(lambda a: dac_mod.encode(dac_params, dac_cfg, a))
+    encode = jax.jit(lambda a: codec_mod.encode(dac_params, dac_cfg, a))
     hop = dac_cfg.hop_length
     out: list[np.ndarray] = []
     for i in range(0, len(audio_arrays), batch_size):
