@@ -141,5 +141,23 @@ def load_model(path: str) -> tuple[Any, ParlerTTSConfig, GenerationConfig]:
     gen_path = os.path.join(path, "generation_config.json")
     gen = GenerationConfig.load(gen_path) if os.path.exists(gen_path) else GenerationConfig()
     with ocp.PyTreeCheckpointer() as ckptr:
-        params = ckptr.restore(os.path.join(path, "weights"))
+        weights = os.path.join(path, "weights")
+        if jax.process_count() > 1:
+            # under a multi-process runtime orbax requires explicit
+            # shardings; model checkpoints are host-replicated (every host
+            # loads the full tree and the train/infer step shards them)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh = jax.sharding.Mesh(np.asarray(jax.local_devices()[:1]), ("_load",))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            meta = ckptr.metadata(weights).item_metadata
+            args = jax.tree.map(
+                lambda m: ocp.ArrayRestoreArgs(sharding=replicated), meta.tree
+            )
+            params = ckptr.restore(weights, restore_args=args)
+            # hand plain host arrays to callers (placement is re-decided by
+            # the consuming jit / mesh, exactly like the single-process path)
+            params = jax.tree.map(np.asarray, params)
+        else:
+            params = ckptr.restore(weights)
     return params, cfg, gen

@@ -316,9 +316,21 @@ def stream_generate(
             win_start = max(0, ready - window)
             codes_win = codes_full[:, :, win_start:ready]
             codes_win = np.where(codes_win >= cb, 0, codes_win)
-            pad_w = window - codes_win.shape[-1]
-            if pad_w:
-                codes_win = np.pad(codes_win, ((0, 0), (0, 0), (pad_w, 0)))
+            # zero codes past each sample's valid length, exactly like the
+            # offline path's postprocess_tokens — otherwise the vocoder sees
+            # leftover post-EOS codes in OTHER codebooks as conv context and
+            # the audio near the trim boundary deviates from offline decode
+            frame_idx = win_start + np.arange(codes_win.shape[-1])
+            codes_win = np.where(
+                frame_idx[None, None, :] < valid_lengths[:, None, None], codes_win, 0
+            )
+            # NOTE: no left-padding for short early windows — padding with
+            # code 0 injects fake embedding context and audibly contaminates
+            # the stream head (measured 1.6e-2 abs vs offline at toy
+            # geometry).  Early windows instead vocode exactly the available
+            # frames, matching offline's conv zero-padding at frame 0; this
+            # costs at most ceil(window/chunk_frames)-1 extra small vocoder
+            # compiles per stream signature (jit caches per shape).
             if can_vocode:
                 audio_win = np.asarray(vocode_window(params, codes_win))
                 new_audio = np.array(audio_win[:, -new_frames * hop:])

@@ -13,6 +13,8 @@ import torch
 
 from tests.test_encodec import TINY_24K
 
+pytestmark = pytest.mark.slow
+
 
 def test_encodec_dummy_script_end_to_end(tmp_path):
     import jax

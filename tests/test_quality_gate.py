@@ -38,6 +38,7 @@ def test_mel_utility_basics():
     assert mel_distance(tone, other, sr)["mel_max_abs_db"] > 3.0
 
 
+@pytest.mark.slow
 def test_quality_gate_green_on_reference_built_checkpoint(tmp_path):
     """End-to-end: migrate a torch-reference checkpoint, run both stacks,
     assert mel allclose (fp32) + serving-path vocoder budget — the gate the
@@ -49,8 +50,25 @@ def test_quality_gate_green_on_reference_built_checkpoint(tmp_path):
     ckpt = str(tmp_path / "ref_ckpt")
     _write_checkpoint(rmodel, ckpt, safetensors=True)
 
+    # tiny tokenizer (ids < the fixture's 120-vocab) for the serving gate
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(
+        ["a female speaker with a low pitched voice", "hey how are you doing today",
+         "clear audio quality speaks fast", "a male speaker with a deep voice hey there"],
+        trainers.WordPieceTrainer(vocab_size=100, special_tokens=["[UNK]", "[PAD]", "</s>"]),
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]", eos_token="</s>"
+    )
+    tok_dir = str(tmp_path / "tok")
+    fast.save_pretrained(tok_dir)
+
     gate = _load_gate()
-    report = gate.run_quality_gate(ckpt, batch=2, seed=0)
+    report = gate.run_quality_gate(ckpt, batch=2, seed=0, tokenizer_name=tok_dir)
 
     torch_gate = report["gates"]["fp32_vs_torch"]
     assert torch_gate["ran"], f"torch side did not run: {torch_gate.get('error')}"
@@ -61,6 +79,16 @@ def test_quality_gate_green_on_reference_built_checkpoint(tmp_path):
     serving = report["gates"]["serving_vs_fp32"]
     assert serving["vocoder_mel_ok"], serving
     assert 0.0 <= serving["greedy_token_agreement"] <= 1.0
+
+    stream = report["gates"]["stream_vs_offline"]
+    assert stream["ran"], f"streaming gate did not run: {stream.get('error')}"
+    assert stream["token_agreement"] == 1.0, stream
+    assert stream["ok"], stream
+
+    engine = report["gates"]["serving_engine_vs_direct"]
+    assert engine["ran"], f"engine gate did not run: {engine.get('error')}"
+    if engine["batches"] == 1:  # conclusive run
+        assert engine["bitwise_equal"], engine
 
     assert report["pass"], report
 
