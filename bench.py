@@ -48,7 +48,35 @@ import numpy as np
 A100_BASELINE_AUDIO_S_PER_S = 2.6  # documented estimate, see module docstring
 
 
+_done = False
+
+
 def main():
+    # deadline guard: a wedged TPU tunnel hangs FOREVER inside PJRT client
+    # init (observed round 4: chip-claim never granted after a client died
+    # mid-compile) — without this the driver would record NO json line at
+    # all.  A daemon thread, not SIGALRM: Python defers signal handlers
+    # while the main thread is blocked inside the hanging C call.  Deadline
+    # is generous vs the worst legitimate run (~400 s cold compile + ~100 s
+    # latency compile + reps); BENCH_DEADLINE overrides.
+    import threading
+
+    deadline = int(os.environ.get("BENCH_DEADLINE", 2700))
+
+    def _watchdog():
+        time.sleep(deadline)
+        if not _done:
+            print(json.dumps({
+                "metric": "audio_seconds_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "audio-s/s",
+                "vs_baseline": 0.0,
+                "error": f"bench deadline {deadline}s exceeded (TPU tunnel hang?)",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     attempts = [
         (int(os.environ.get("BENCH_BATCH", 128)), float(os.environ.get("BENCH_SECONDS", 3.0))),
         (32, 3.0),
@@ -61,6 +89,8 @@ def main():
         except Exception as e:  # tunnel crash, OOM, ...
             last_err = e
             print(f"bench attempt batch={batch} seconds={seconds} failed: {e}", file=sys.stderr)
+    global _done
+    _done = True
     print(json.dumps({
         "metric": "audio_seconds_per_sec_per_chip",
         "value": 0.0,
@@ -243,6 +273,8 @@ def run_bench(batch: int, seconds: float):
             print(f"latency config failed: {e}", file=sys.stderr)
             result["p50_latency_10s_utterance_s"] = None
 
+    global _done
+    _done = True
     print(json.dumps(result))
     return 0
 

@@ -740,13 +740,21 @@ def forward(
             ckpt = lambda f: jax.checkpoint(f, prevent_cse=False)
         else:
             ckpt = lambda f: f
+        # PARLER_TRAIN_SCAN_UNROLL: unroll factor for the layer scan.  The
+        # round-4 training roofline measured 24% of the step in
+        # dynamic-update-slice fusions that stash per-iteration remat saves
+        # into stacked (L, ...) buffers; unrolling groups those writes into
+        # larger, better-tiled updates at the cost of a bigger HLO.
+        import os as _os
+
+        unroll = int(_os.environ.get("PARLER_TRAIN_SCAN_UNROLL", "1"))
         if train_key is None:
             @ckpt
             def scan_body(x, lp):
                 x, _, _ = _layer_full(lp, cfg, x, self_mask, enc, enc_mask, None, flash_ctx)
                 return x, None
 
-            x, _ = lax.scan(scan_body, x, layers)
+            x, _ = lax.scan(scan_body, x, layers, unroll=unroll)
         else:
             emb_key, lk_key, ld_key = jax.random.split(train_key, 3)
             x = dropout(emb_key, x, cfg.dropout)  # reference :888
@@ -765,7 +773,7 @@ def forward(
                 )
                 return jnp.where(keep_l, x_new, x), None
 
-            x, _ = lax.scan(scan_body, x, (layers, layer_keys, keep))
+            x, _ = lax.scan(scan_body, x, (layers, layer_keys, keep), unroll=unroll)
         new_cache = None
     elif prefill:
         # prefill from index 0: attention over the local sequence only; scan
