@@ -23,6 +23,7 @@ def test_rotation_and_discovery(tmp_path):
     assert names == ["checkpoint-30-epoch-1", "checkpoint-40-epoch-1"]
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path):
     cfg = dummy_config()
     params = parler.init(jax.random.PRNGKey(0), cfg, with_audio_encoder=False)
@@ -56,6 +57,7 @@ def test_model_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_multisteps_opt_state_template_restore(tmp_path):
     """Template restore preserves optax MultiSteps NamedTuple field order —
     untemplated orbax restore returns alphabetical dicts, which silently

@@ -92,6 +92,7 @@ def test_weight_norm_folding(tiny):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_vocoder_quality():
     """The bf16 serving path stays within listening-transparent error of the
     fp32 quality path (fp32 remains the default / allclose-gate path)."""

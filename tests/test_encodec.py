@@ -136,6 +136,7 @@ def test_roundtrip_output_length(tiny24):
     assert wav.shape == (1, codes.shape[-1] * cfg.hop_length)
 
 
+@pytest.mark.slow
 def test_48k_chunked_normalized_stereo(tiny48):
     """Full 48 kHz-style path: stereo, time_group_norm, per-chunk loudness
     scales, chunked encode, triangular overlap-add decode."""

@@ -153,6 +153,7 @@ def test_greedy_generation_matches_reference(guidance):
     np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
 
 
+@pytest.mark.slow
 def test_sampled_generation_valid():
     """Sampling path: correct shapes, specials only where the pattern forces
     them, codes in range after postprocess."""

@@ -6,6 +6,7 @@ The smaller per-bucket buffers only drop attention columns that are masked
 anyway (positions >= cache.flushed), so greedy token streams are identical."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -33,6 +34,7 @@ def test_kv_read_limits_shape():
     assert _kv_read_limits(10, 920, 1) == [920]
 
 
+@pytest.mark.slow
 def test_bucketed_decode_matches_full_loop():
     cfg = ParlerTTSConfig(
         vocab_size=120,

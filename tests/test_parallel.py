@@ -49,6 +49,7 @@ def test_partition_specs_cover_all_params(tiny_setup):
     jax.tree.map(lambda x, s: None, params, specs, is_leaf=lambda x: isinstance(x, P))
 
 
+@pytest.mark.slow
 def test_tp_sharded_generation_matches_unsharded(tiny_setup):
     """Greedy generation with weights sharded model=2 over an 8-device mesh
     equals the single-device result (GSPMD collectives are numerically

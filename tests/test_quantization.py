@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parler_tts_tpu.core.config import DecoderConfig
 from parler_tts_tpu.models import decoder as jdec
@@ -61,6 +62,7 @@ def test_quantize_dense_folding_exact():
     assert err < 2e-2
 
 
+@pytest.mark.slow
 def test_int8_kv_decode_matches_fp_within_tolerance():
     """Cached decode with an int8 KV cache stays close to the fp32 cache."""
     cfg = make_cfg()
@@ -178,6 +180,7 @@ def test_generate_int8_end_to_end():
     assert (tokens < 34).all() and (tokens >= 0).all()
 
 
+@pytest.mark.slow
 @__import__("pytest").mark.parametrize("kv_dtype", [None, "int8"])
 def test_engine_matches_stepwise_forward(kv_dtype):
     """The hot-loop engine (segmented masked scan + staged KV flushes,

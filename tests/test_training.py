@@ -49,6 +49,7 @@ def test_collator_left_pads_prompts():
     assert (batch["labels"][1] == 2).all()
 
 
+@pytest.mark.slow
 def test_grad_accum_counts_optimizer_steps(tmp_path):
     """save/eval/logging/max_steps compare against OPTIMIZER steps, not
     micro-batches (reference semantics, run_parler_tts_training.py:1580-1591):
@@ -80,6 +81,7 @@ def test_grad_accum_counts_optimizer_steps(tmp_path):
     assert meta["step"] == 2 and meta["micro_in_epoch"] == 4
 
 
+@pytest.mark.slow
 def test_intra_epoch_resume_no_batch_repeat(tmp_path, monkeypatch):
     """Kill mid-epoch, resume, and prove via batch fingerprints that no
     micro-batch is repeated or skipped (reference skip_first_batches,
@@ -118,6 +120,7 @@ def test_intra_epoch_resume_no_batch_repeat(tmp_path, monkeypatch):
     assert len(set(full_epoch_order)) == len(full_epoch_order) == 8
 
 
+@pytest.mark.slow
 def test_eval_split_logs_quality_metrics(tmp_path):
     """--do_eval on a distinct (synthetic) eval split runs the loss pass, the
     generation pass, and the WER/CLAP hooks — with no ASR/CLAP checkpoints on
@@ -187,6 +190,7 @@ def test_prepared_dataset_disk_cache(tmp_path, monkeypatch):
     np.testing.assert_array_equal(second[0]["labels"], first[0]["labels"])
 
 
+@pytest.mark.slow
 def test_train_cli_and_resume(tmp_path):
     from parler_tts_tpu.training import run_training
 
@@ -221,6 +225,7 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize("mode", [True, "dots"])
+@pytest.mark.slow
 def test_remat_gradients_match(mode):
     """Per-layer gradient checkpointing (reference gradient_checkpointing,
     modeling_parler_tts.py:921-933) recomputes the forward in the backward —
