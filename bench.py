@@ -62,18 +62,23 @@ def main():
     import threading
 
     deadline = int(os.environ.get("BENCH_DEADLINE", 2700))
+    attempt_start = [time.time()]  # refreshed per fallback attempt: the
+    # budget is per-ATTEMPT so a legitimate slow first config + fallbacks
+    # are not mistaken for a hang
 
     def _watchdog():
-        time.sleep(deadline)
-        if not _done:
-            print(json.dumps({
-                "metric": "audio_seconds_per_sec_per_chip",
-                "value": 0.0,
-                "unit": "audio-s/s",
-                "vs_baseline": 0.0,
-                "error": f"bench deadline {deadline}s exceeded (TPU tunnel hang?)",
-            }), flush=True)
-            os._exit(1)
+        while not _done:
+            remaining = attempt_start[0] + deadline - time.time()
+            if remaining <= 0:
+                print(json.dumps({
+                    "metric": "audio_seconds_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "audio-s/s",
+                    "vs_baseline": 0.0,
+                    "error": f"bench attempt exceeded {deadline}s (TPU tunnel hang?)",
+                }), flush=True)
+                os._exit(1)
+            time.sleep(min(remaining, 30))
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -85,6 +90,7 @@ def main():
     last_err = None
     for batch, seconds in attempts:
         try:
+            attempt_start[0] = time.time()
             return run_bench(batch, seconds)
         except Exception as e:  # tunnel crash, OOM, ...
             last_err = e

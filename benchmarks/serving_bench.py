@@ -33,20 +33,9 @@ N_REQ = int(os.environ.get("SERVE_N", 30))  # per rate
 
 
 def _toy_tokenizer():
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
-    from transformers import PreTrainedTokenizerFast
+    from parler_tts_tpu.utils.toy_tokenizer import build_toy_tokenizer
 
-    tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
-    tok.pre_tokenizer = pre_tokenizers.Whitespace()
-    tok.train_from_iterator(
-        ["a female speaker with a low pitched voice speaks very fast",
-         "hey how are you doing today", "clear audio quality",
-         "a male speaker with a deep voice delivers slightly expressively"],
-        trainers.WordPieceTrainer(vocab_size=120, special_tokens=["[UNK]", "[PAD]", "</s>"]),
-    )
-    return PreTrainedTokenizerFast(
-        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]", eos_token="</s>"
-    )
+    return build_toy_tokenizer(vocab_size=120)
 
 
 def main():
@@ -135,6 +124,12 @@ def main():
         for f in done:
             f.result(timeout=3600)
         wall = time.time() - t_start
+        # done-callbacks can fire AFTER result() returns (set_result wakes
+        # waiters before invoking callbacks) — wait for every latency sample
+        deadline = time.time() + 30
+        while len(lat) < N_REQ and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(lat) == N_REQ, f"missing latency samples: {len(lat)}/{N_REQ}"
         stats1 = eng.stats()
         batches = stats1["batches"] - stats0["batches"]
         reqs = stats1["batched_requests"] - stats0["batched_requests"]

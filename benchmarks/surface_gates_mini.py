@@ -145,22 +145,11 @@ def main():
     print("stream gate:", json.dumps(stream_gate), file=sys.stderr)
 
     # ----- serving engine vs direct (bf16 serving config) -----
-    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers, trainers
-    from transformers import PreTrainedTokenizerFast
-
     from parler_tts_tpu.pipeline import ParlerTTSPipeline
     from parler_tts_tpu.serving import BatchingEngine
+    from parler_tts_tpu.utils.toy_tokenizer import build_toy_tokenizer
 
-    tok = Tokenizer(tok_models.WordPiece(unk_token="[UNK]"))
-    tok.pre_tokenizer = pre_tokenizers.Whitespace()
-    tok.train_from_iterator(
-        ["a female speaker with a low pitched voice", "hey how are you doing today",
-         "clear audio quality speaks fast", "a male speaker with a deep voice hey there"],
-        trainers.WordPieceTrainer(vocab_size=100, special_tokens=["[UNK]", "[PAD]", "</s>"]),
-    )
-    fast = PreTrainedTokenizerFast(
-        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]", eos_token="</s>"
-    )
+    fast = build_toy_tokenizer()
 
     serve_gen = GenerationConfig(
         max_length=frames, do_sample=False, kv_cache_dtype="int8", int8_weights=True
@@ -184,10 +173,8 @@ def main():
     finally:
         eng.shutdown()
     print(f"engine batch {time.time() - t0:.1f}s, stats {stats}", file=sys.stderr)
-    padded = texts + [texts[0]] * (4 - len(texts))
-    fold = 0
-    for i in range(len(texts)):
-        fold = (fold * 1000003 + i) & 0x7FFFFFFF
+    padded = BatchingEngine.pad_rows(texts, 4)
+    fold = BatchingEngine.fold_seeds(range(len(texts)))
     direct_sr, direct = pipe.tts(
         [t[0] for t in padded], [t[1] for t in padded], seed=fold, max_seconds=gate_seconds
     )

@@ -329,7 +329,10 @@ def run_quality_gate(checkpoint: str, *, description: str | None = None,
         if not stream_report["ok"]:
             report["pass"] = False
     except Exception as e:
+        # streaming is this repo's own JAX code — a crash IS a failure (the
+        # torch gate above may legitimately be un-runnable; this one never is)
         stream_report["error"] = f"{type(e).__name__}: {e}"[:300]
+        report["pass"] = False
     report["gates"]["stream_vs_offline"] = stream_report
 
     # ----- BatchingEngine vs direct generate (round-3 VERDICT #6b) ----------
@@ -341,7 +344,15 @@ def run_quality_gate(checkpoint: str, *, description: str | None = None,
         from parler_tts_tpu.pipeline import ParlerTTSPipeline
         from parler_tts_tpu.serving import BatchingEngine
 
-        tok = AutoTokenizer.from_pretrained(tokenizer_name or checkpoint)
+        # a tokenizer-less checkpoint dir is the one environmental skip this
+        # gate allows (reported, gate not failed); anything past this point
+        # is this repo's own serving code — a crash fails the gate
+        try:
+            tok = AutoTokenizer.from_pretrained(tokenizer_name or checkpoint)
+        except Exception as e:
+            engine_report["error"] = f"tokenizer unavailable: {e}"[:300]
+            report["gates"]["serving_engine_vs_direct"] = engine_report
+            return report
         pipe = ParlerTTSPipeline(
             astype_tree(params, jnp.bfloat16), cfg, greedy, tok, tok, dtype=jnp.bfloat16
         )
@@ -363,12 +374,11 @@ def run_quality_gate(checkpoint: str, *, description: str | None = None,
             eng.shutdown()
         engine_report["ran"] = True
         engine_report["batches"] = stats["batches"]
-        # replicate the engine's deterministic padding + seed fold, then run
-        # the SAME inputs through the pipeline directly — bitwise equality
-        padded = texts + [texts[0]] * (4 - len(texts))
-        fold = 0
-        for i in range(len(texts)):
-            fold = (fold * 1000003 + i) & 0x7FFFFFFF
+        # replicate the engine's deterministic padding + seed fold (its own
+        # exported policy), then run the SAME inputs through the pipeline
+        # directly — bitwise equality
+        padded = BatchingEngine.pad_rows(texts, 4)
+        fold = BatchingEngine.fold_seeds(range(len(texts)))
         direct_sr, direct = pipe.tts(
             [t[0] for t in padded], [t[1] for t in padded],
             seed=fold, max_seconds=min(gate_seconds, pipe.gen.max_length / cfg.frame_rate),
@@ -386,6 +396,7 @@ def run_quality_gate(checkpoint: str, *, description: str | None = None,
             report["pass"] = False
     except Exception as e:
         engine_report["error"] = f"{type(e).__name__}: {e}"[:300]
+        report["pass"] = False
     report["gates"]["serving_engine_vs_direct"] = engine_report
     return report
 

@@ -21,6 +21,7 @@ import numpy as np
 from parler_tts_tpu.core.config import (
     DACConfig,
     DecoderConfig,
+    EncodecConfig,
     GenerationConfig,
     ParlerTTSConfig,
     T5EncoderConfig,
@@ -59,6 +60,62 @@ def load_reference_state_dict(model_dir: str) -> dict[str, np.ndarray]:
     return sd
 
 
+def _codec_config_from_reference(ae: dict, de: dict):
+    """Nested audio_encoder sub-config -> DAC or EnCodec config dataclass.
+
+    The reference assembles composites through the HF Auto registry, so the
+    audio encoder can be its DAC wrapper (``model_type: "dac"``/
+    ``"dac_on_the_hub"``), an HF-native ``DacModel``, or a real
+    ``facebook/encodec_24khz`` (``model_type: "encodec"`` —
+    ``helpers/model_init_scripts/init_dummy_model_with_encodec.py:11-18``).
+    """
+    if ae.get("model_type") == "encodec" or ae.get("codec_type") == "encodec":
+        return EncodecConfig(
+            target_bandwidths=tuple(ae.get("target_bandwidths", (1.5, 3.0, 6.0, 12.0, 24.0))),
+            sampling_rate=ae.get("sampling_rate", 24000),
+            audio_channels=ae.get("audio_channels", 1),
+            normalize=ae.get("normalize", False),
+            chunk_length_s=ae.get("chunk_length_s"),
+            overlap=ae.get("overlap"),
+            hidden_size=ae.get("hidden_size", 128),
+            num_filters=ae.get("num_filters", 32),
+            num_residual_layers=ae.get("num_residual_layers", 1),
+            upsampling_ratios=tuple(ae.get("upsampling_ratios", (8, 5, 4, 2))),
+            norm_type=ae.get("norm_type", "weight_norm"),
+            kernel_size=ae.get("kernel_size", 7),
+            last_kernel_size=ae.get("last_kernel_size", 7),
+            residual_kernel_size=ae.get("residual_kernel_size", 3),
+            dilation_growth_rate=ae.get("dilation_growth_rate", 2),
+            use_causal_conv=ae.get("use_causal_conv", True),
+            pad_mode=ae.get("pad_mode", "reflect"),
+            compress=ae.get("compress", 2),
+            num_lstm_layers=ae.get("num_lstm_layers", 2),
+            trim_right_ratio=ae.get("trim_right_ratio", 1.0),
+            codebook_size=ae.get("codebook_size", 1024),
+            codebook_dim=ae.get("codebook_dim"),
+            use_conv_shortcut=ae.get("use_conv_shortcut", True),
+            # the composite models as many streams as its decoder LM emits
+            num_codebooks=ae.get("num_codebooks", de.get("num_codebooks")),
+        )
+    # the reference wrapper's DACConfig carries only codebook facts (the
+    # conv geometry is descript's fixed 44khz stack = our defaults);
+    # HF-native DacModel audio encoders spell out the full geometry with
+    # slightly different field names — honor both
+    return DACConfig(
+        num_codebooks=ae.get("num_codebooks", ae.get("n_codebooks", 9)),
+        model_bitrate=ae.get("model_bitrate", 8),
+        codebook_size=ae.get("codebook_size", 1024),
+        codebook_dim=ae.get("codebook_dim", 8),
+        latent_dim=ae.get("latent_dim", ae.get("hidden_size", 1024)),
+        frame_rate=ae.get("frame_rate", 86),
+        sampling_rate=ae.get("sampling_rate", 44100),
+        encoder_hidden_size=ae.get("encoder_hidden_size", 64),
+        downsampling_ratios=tuple(ae.get("downsampling_ratios", (2, 4, 8, 8))),
+        decoder_hidden_size=ae.get("decoder_hidden_size", 1536),
+        upsampling_ratios=tuple(ae.get("upsampling_ratios", (8, 8, 4, 2))),
+    )
+
+
 def config_from_reference(config_json: dict) -> ParlerTTSConfig:
     """Reference nested config.json -> our composite config."""
     te = config_json["text_encoder"]
@@ -82,23 +139,7 @@ def config_from_reference(config_json: dict) -> ParlerTTSConfig:
             is_gated_act=te.get("is_gated_act", gated),
             dropout_rate=te.get("dropout_rate", 0.1),
         ),
-        # the reference wrapper's DACConfig carries only codebook facts (the
-        # conv geometry is descript's fixed 44khz stack = our defaults);
-        # HF-native DacModel audio encoders spell out the full geometry with
-        # slightly different field names — honor both
-        audio_encoder=DACConfig(
-            num_codebooks=ae.get("num_codebooks", ae.get("n_codebooks", 9)),
-            model_bitrate=ae.get("model_bitrate", 8),
-            codebook_size=ae.get("codebook_size", 1024),
-            codebook_dim=ae.get("codebook_dim", 8),
-            latent_dim=ae.get("latent_dim", ae.get("hidden_size", 1024)),
-            frame_rate=ae.get("frame_rate", 86),
-            sampling_rate=ae.get("sampling_rate", 44100),
-            encoder_hidden_size=ae.get("encoder_hidden_size", 64),
-            downsampling_ratios=tuple(ae.get("downsampling_ratios", (2, 4, 8, 8))),
-            decoder_hidden_size=ae.get("decoder_hidden_size", 1536),
-            upsampling_ratios=tuple(ae.get("upsampling_ratios", (8, 8, 4, 2))),
-        ),
+        audio_encoder=_codec_config_from_reference(ae, de),
         decoder=DecoderConfig(
             vocab_size=de.get("vocab_size", 1088),
             hidden_size=de.get("hidden_size", 1024),

@@ -179,20 +179,34 @@ class BatchingEngine:
                     if not r.future.done():
                         r.future.set_exception(e)
 
+    # -- deterministic batch-assembly policy (public: the quality gates
+    # replicate an engine batch through the pipeline directly and must use
+    # the SAME padding + seed fold — helpers/quality_gate.py,
+    # benchmarks/surface_gates_mini.py) --------------------------------------
+
+    @staticmethod
+    def pad_rows(rows: list, bucket: int) -> list:
+        """Pad a request list UP to the batch bucket by repeating the first
+        row (one compilation per bucket; extra rows are dropped)."""
+        return rows + [rows[0]] * (bucket - len(rows))
+
+    @staticmethod
+    def fold_seeds(seeds) -> int:
+        """One key per batch: fold every request seed in so distinct seeds
+        still decorrelate (a per-row key split happens inside sampling)."""
+        out = 0
+        for s in seeds:
+            out = (out * 1000003 + s) & 0x7FFFFFFF
+        return out
+
     def _execute(self, group: list[_Request]) -> None:
         n = len(group)
         bucket = _batch_bucket(n, self.batch_buckets)
-        # pad the request list to the batch bucket by repeating the first
-        # request (one compilation per bucket; extra rows are dropped)
-        padded = group + [group[0]] * (bucket - n)
+        padded = self.pad_rows(group, bucket)
         descs = [r.description for r in padded]
         prompts = [r.prompt for r in padded]
         max_seconds = self._length_bucket(group[0])
-        # one key per batch: fold every request seed in so distinct seeds
-        # still decorrelate (a per-row key split happens inside sampling)
-        seed = 0
-        for r in group:
-            seed = (seed * 1000003 + r.seed) & 0x7FFFFFFF
+        seed = self.fold_seeds(r.seed for r in group)
         sr, waves = self.pipeline.tts(descs, prompts, seed=seed, max_seconds=max_seconds)
         with self._lock:
             self._stats["batches"] += 1

@@ -136,6 +136,11 @@ def load_multiple_datasets(
         if spec.metadata_name:
             if _is_local(spec.metadata_name):
                 md = hfds.load_from_disk(spec.metadata_name)
+                if streaming and hasattr(md, "to_iterable_dataset"):
+                    # must match the main dataset's flavor: axis-1
+                    # concatenate_datasets refuses to mix an IterableDataset
+                    # with a map-style Dataset
+                    md = md.to_iterable_dataset()
             else:
                 md = hfds.load_dataset(spec.metadata_name, spec.config, split=spec.split, streaming=streaming)
             if isinstance(md, (hfds.DatasetDict, hfds.IterableDatasetDict)):

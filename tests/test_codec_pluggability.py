@@ -155,3 +155,74 @@ def test_composite_voice_continuation_through_encodec(encodec_composite):
     n_prompt = ref_codes.shape[-1]
     np.testing.assert_array_equal(np.asarray(out.codes)[..., :n_prompt], ref_codes)
     assert np.isfinite(np.asarray(out.audio)).all()
+
+
+def test_reference_checkpoint_with_encodec_migrates(tmp_path):
+    """A reference checkpoint whose audio encoder is a real EnCodec (the
+    Auto-registry assembly of init_dummy_model_with_encodec.py) migrates
+    through from_reference_pretrained: EncodecConfig detected via
+    model_type, EnCodec weights imported, generation vocoded through it."""
+    import json
+    import os
+
+    import jax
+
+    from tests.reference_loader import load_reference
+    from transformers import EncodecConfig as HFEncodecConfig, T5Config
+
+    ref = load_reference()
+    t5c = T5Config(
+        vocab_size=100, d_model=24, d_kv=6, d_ff=48, num_layers=1, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+    )
+    enc_c = HFEncodecConfig(**TINY_24K)
+    vocab = enc_c.codebook_size  # 32
+    decc = ref.ParlerTTSDecoderConfig(
+        vocab_size=vocab + 1, max_position_embeddings=128, num_hidden_layers=1,
+        ffn_dim=48, num_attention_heads=4, hidden_size=24, num_codebooks=4,
+        pad_token_id=vocab, eos_token_id=vocab, bos_token_id=vocab + 1,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+    )
+    rcfg = ref.ParlerTTSConfig.from_sub_models_config(t5c, enc_c, decc, vocab_size=100)
+    torch.manual_seed(0)
+    rmodel = ref.ParlerTTSForConditionalGeneration(rcfg).eval()
+    with torch.no_grad():
+        for layer in rmodel.audio_encoder.quantizer.layers:
+            layer.codebook.embed.normal_(generator=torch.Generator().manual_seed(7))
+
+    ckpt = str(tmp_path / "ref_encodec")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(rmodel.config.to_dict(), f)
+    with open(os.path.join(ckpt, "generation_config.json"), "w") as f:
+        json.dump({"max_length": 16, "do_sample": False, "bos_token_id": vocab + 1,
+                   "pad_token_id": vocab, "eos_token_id": vocab,
+                   "decoder_start_token_id": vocab + 1}, f)
+    from safetensors.torch import save_file
+    sd = {k: v.clone().contiguous() for k, v in rmodel.state_dict().items()
+          if k != "text_encoder.encoder.embed_tokens.weight"}
+    save_file(sd, os.path.join(ckpt, "model.safetensors"))
+
+    from parler_tts_tpu.core.config import EncodecConfig
+    from parler_tts_tpu.core.from_reference import from_reference_pretrained
+    from parler_tts_tpu.core.config import GenerationConfig
+    from parler_tts_tpu.generation import generate as G
+
+    params, cfg, gen = from_reference_pretrained(ckpt)
+    assert isinstance(cfg.audio_encoder, EncodecConfig)
+    assert cfg.audio_encoder.num_codebooks == 4  # pinned to the decoder's K
+    assert "lstm" in params["audio_encoder"]["encoder"]
+
+    rng = np.random.default_rng(0)
+    out = G.generate(
+        params, cfg, gen,
+        input_ids=rng.integers(0, 100, (1, 5)),
+        prompt_input_ids=rng.integers(0, 100, (1, 4)),
+        key=jax.random.PRNGKey(0),
+    )
+    with torch.no_grad():
+        ref_wav = rmodel.audio_encoder.decode(
+            torch.tensor(np.asarray(out.codes))[None], audio_scales=[None]
+        ).audio_values.numpy()
+    np.testing.assert_allclose(np.asarray(out.audio), ref_wav[:, 0, :], atol=1e-5)

@@ -51,21 +51,10 @@ def test_quality_gate_green_on_reference_built_checkpoint(tmp_path):
     _write_checkpoint(rmodel, ckpt, safetensors=True)
 
     # tiny tokenizer (ids < the fixture's 120-vocab) for the serving gate
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
-    from transformers import PreTrainedTokenizerFast
+    from parler_tts_tpu.utils.toy_tokenizer import build_toy_tokenizer
 
-    tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
-    tok.pre_tokenizer = pre_tokenizers.Whitespace()
-    tok.train_from_iterator(
-        ["a female speaker with a low pitched voice", "hey how are you doing today",
-         "clear audio quality speaks fast", "a male speaker with a deep voice hey there"],
-        trainers.WordPieceTrainer(vocab_size=100, special_tokens=["[UNK]", "[PAD]", "</s>"]),
-    )
-    fast = PreTrainedTokenizerFast(
-        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]", eos_token="</s>"
-    )
     tok_dir = str(tmp_path / "tok")
-    fast.save_pretrained(tok_dir)
+    build_toy_tokenizer(tok_dir)
 
     gate = _load_gate()
     report = gate.run_quality_gate(ckpt, batch=2, seed=0, tokenizer_name=tok_dir)
