@@ -55,6 +55,9 @@ def main():
                          "the 16 GB-chip capacity unlock for batch>=8 x 10 s)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="ablation: XLA attention instead of the pallas flash kernel")
+    ap.add_argument("--unroll", default=None,
+                    help="layer-scan unroll factor (int or 'full'); default "
+                         "follows PARLER_TRAIN_SCAN_UNROLL env, else 1")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the timed steps")
     args = ap.parse_args()
@@ -83,8 +86,9 @@ def main():
     jax.block_until_ready(params)
     tx = optim.make_optimizer(9.5e-4, warmup_steps=100)
     state, frozen = tstep.create_state(params, tx)
+    unroll = args.unroll if args.unroll is None or args.unroll == "full" else int(args.unroll)
     train_step = jax.jit(
-        tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=remat),
+        tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=remat, scan_unroll=unroll),
         donate_argnums=(0,),
     )
 
@@ -131,6 +135,7 @@ def main():
         "batch": b,
         "label_frames": t_lab,
         "remat": args.remat,
+        "scan_unroll": args.unroll,
         "step_s": round(dt, 3),
         "codec_tokens_per_sec": round(tokens / dt),
         "train_audio_seconds_per_sec": round(b * args.seconds / dt, 2),

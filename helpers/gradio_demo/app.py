@@ -39,11 +39,20 @@ FORM = """<!doctype html><title>Parler-TTS (TPU)</title>
 """
 
 
-def run_http(pipe: ParlerTTSPipeline, port: int):
+def run_http(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):
     # concurrent requests coalesce into batched generate calls (decode step
     # cost is nearly flat in batch on TPU — see parler_tts_tpu/serving);
     # the threading server lets requests overlap so the batcher can group them
     engine = BatchingEngine(pipe)
+    if warmup:
+        # pre-compile the common bucket programs so no request ever pays the
+        # 142 s cold first-request compile (benchmarks/serving_bench.json);
+        # a restarted server re-loads these from the persistent XLA cache
+        print("warming up bucket programs (batch 1/4/16 x 5/10 s)...")
+        for bucket, secs in sorted(engine.warmup(
+            batch_buckets=(1, 4, 16), length_bucket_seconds=(5.0, 10.0)
+        ).items()):
+            print(f"  bucket {bucket}: {secs:.1f}s")
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -111,6 +120,8 @@ def main():
     ap.add_argument("model_dir")
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile common bucket programs before serving")
     args = ap.parse_args()
     pipe = ParlerTTSPipeline.from_pretrained(args.model_dir, tokenizer_name=args.tokenizer)
     try:
@@ -118,7 +129,7 @@ def main():
 
         run_gradio(pipe, args.port)
     except ImportError:
-        run_http(pipe, args.port)
+        run_http(pipe, args.port, warmup=args.warmup)
 
 
 if __name__ == "__main__":

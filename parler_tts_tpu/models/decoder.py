@@ -639,6 +639,7 @@ def forward(
     train_key: jnp.ndarray | None = None,
     auto_flush: bool = True,
     remat: bool | str = False,
+    scan_unroll: int | str | None = None,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Decoder trunk (reference ``ParlerTTSDecoder.forward`` ``:795-978``).
@@ -740,14 +741,28 @@ def forward(
             ckpt = lambda f: jax.checkpoint(f, prevent_cse=False)
         else:
             ckpt = lambda f: f
-        # PARLER_TRAIN_SCAN_UNROLL: unroll factor for the layer scan.  The
-        # round-4 training roofline measured 24% of the step in
-        # dynamic-update-slice fusions that stash per-iteration remat saves
-        # into stacked (L, ...) buffers; unrolling groups those writes into
-        # larger, better-tiled updates at the cost of a bigger HLO.
-        import os as _os
+        # ``scan_unroll`` (arg, or PARLER_TRAIN_SCAN_UNROLL env fallback):
+        # unroll factor for the layer scan.  The round-4 training roofline
+        # measured 24% of the step in dynamic-update-slice fusions that
+        # stash per-iteration remat saves into stacked (L, ...) buffers;
+        # "full" unroll removes the scan entirely so remat saves become
+        # individual buffers with no stacked-stash traffic — measured
+        # 0.261 -> 0.220 s/step (+18.6% to 363.6 audio-s/s, 41.3% MFU) on
+        # the batch 8 x 10 s dots-remat champion, at a one-time compile
+        # cost of 126 s vs 33 s.  Grads are bit-identical under the flag
+        # (test_remat_gradients_match).  Caveat: unrolling raises peak HBM
+        # (more simultaneously-live buffers) — batch 8 x 30 s fits with the
+        # scan but OOMs fully unrolled (22.9 G vs 15.75 G), so this stays
+        # opt-in per shape rather than an unconditional default.
+        if scan_unroll is None:
+            import os as _os
 
-        unroll = int(_os.environ.get("PARLER_TRAIN_SCAN_UNROLL", "1"))
+            scan_unroll = _os.environ.get("PARLER_TRAIN_SCAN_UNROLL", "1")
+        unroll = (
+            cfg.num_hidden_layers
+            if scan_unroll == "full"
+            else max(1, min(int(scan_unroll), cfg.num_hidden_layers))
+        )
         if train_key is None:
             @ckpt
             def scan_body(x, lp):

@@ -64,6 +64,7 @@ def train_forward(
     decoder_attention_mask: jnp.ndarray | None = None,
     train_key: jnp.ndarray | None = None,
     remat: bool | str = False,
+    scan_unroll: int | str | None = None,
     dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced loss (reference composite ``forward`` ``:1927-2079``).
@@ -98,6 +99,7 @@ def train_forward(
         attention_mask=fused_mask,
         train_key=train_key,
         remat=remat,
+        scan_unroll=scan_unroll,
         dtype=dtype,
     )
     lm_logits = decoder_mod.logits(params["decoder"], hidden, num_labels=t)

@@ -45,6 +45,10 @@ class _Request:
     max_seconds: float | None
     seed: int
     future: Future
+    # warmup-only: pad the batch up to at least this bucket so the request
+    # compiles a *chosen* (batch, length) program rather than the smallest
+    # bucket that fits the group
+    force_bucket: int | None = None
 
 
 def _batch_bucket(n: int, buckets: tuple[int, ...]) -> int:
@@ -108,6 +112,46 @@ class BatchingEngine:
     def stats(self) -> dict:
         with self._lock:
             return dict(self._stats)
+
+    def warmup(
+        self,
+        *,
+        description: str = "A calm, clear female voice with no background noise.",
+        prompt: str = "Warming up the server.",
+        batch_buckets: tuple[int, ...] | None = None,
+        length_bucket_seconds: tuple[float, ...] | None = None,
+        timeout: float | None = None,
+    ) -> dict:
+        """Pre-compile (batch × length) bucket programs before traffic.
+
+        The measured cold first request costs 142 s on the Mini geometry
+        (benchmarks/serving_bench.json) because the first bucket compiles
+        under the caller's latency; warming every bucket up front moves that
+        cost to server startup.  With the persistent XLA disk cache (enabled
+        by ``ParlerTTSPipeline.from_pretrained``) a *restarted* server pays
+        only executable-load per bucket, not recompilation.
+
+        Runs through the normal worker-thread path (one thread owns the
+        chip), one synthetic request per bucket with ``force_bucket`` set so
+        each warmup batch is padded to exactly the target batch bucket.
+        Returns ``{"BxS": wall_seconds}`` per warmed bucket.  Real requests
+        arriving mid-warmup simply coalesce into the warmup batches.
+
+        Note: the pipeline also buckets *tokenized text length* (16/32/64/…,
+        ``pipeline._bucket``) into the program key — warmup covers the
+        length buckets of the ``description``/``prompt`` passed here, so use
+        texts representative of production traffic (the defaults land in the
+        32/16-token buckets typical of real descriptions/prompts).
+        """
+        timings: dict[str, float] = {}
+        for sec in length_bucket_seconds or self.length_bucket_seconds:
+            for b in batch_buckets or self.batch_buckets:
+                fut: Future = Future()
+                t0 = time.monotonic()
+                self._queue.put(_Request(description, prompt, sec, 0, fut, force_bucket=b))
+                fut.result(timeout)
+                timings[f"{b}x{sec:g}"] = round(time.monotonic() - t0, 3)
+        return timings
 
     def shutdown(self, wait: bool = True) -> None:
         self._shutdown = True
@@ -201,7 +245,8 @@ class BatchingEngine:
 
     def _execute(self, group: list[_Request]) -> None:
         n = len(group)
-        bucket = _batch_bucket(n, self.batch_buckets)
+        forced = max((r.force_bucket or 0 for r in group), default=0)
+        bucket = max(_batch_bucket(n, self.batch_buckets), forced)
         padded = self.pad_rows(group, bucket)
         descs = [r.description for r in padded]
         prompts = [r.prompt for r in padded]

@@ -450,6 +450,7 @@ def main(argv: list[str] | None = None) -> dict:
             cfg, tx, dtype=dtype, dropout_seed=train_args.seed,
             remat=("dots" if train_args.gradient_checkpointing_policy == "dots" else True)
             if train_args.gradient_checkpointing else False,
+            scan_unroll=train_args.scan_unroll,
         ),
         donate_argnums=(0,),
     )

@@ -59,6 +59,7 @@ def make_train_step(
     dtype=jnp.bfloat16,
     dropout_seed: int | None = None,
     remat: bool | str = False,
+    scan_unroll: int | str | None = None,
 ):
     """Returns ``step(state, frozen, batch) -> (state, metrics)``.
 
@@ -86,6 +87,7 @@ def make_train_step(
             decoder_attention_mask=batch.get("decoder_attention_mask"),
             train_key=train_key,
             remat=remat,
+            scan_unroll=scan_unroll,
             dtype=dtype,
         )
         return loss

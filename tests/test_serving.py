@@ -57,6 +57,27 @@ def test_length_buckets_do_not_mix(engine):
     assert stats["batches"] >= 2, "different length buckets must not share a batch"
 
 
+def test_warmup_compiles_every_bucket(engine):
+    # warmup must leave one compiled program per (batch bucket, length
+    # bucket) in the pipeline's jit cache so the first real request of any
+    # shape never compiles (measured 142 s cold on Mini —
+    # benchmarks/serving_bench.json)
+    # warm with texts in the same tokenized-length buckets as the later
+    # request (text-length buckets are part of the program key)
+    timings = engine.warmup(description="clear audio", prompt="hey how are you",
+                            timeout=600)
+    assert set(timings) == {
+        f"{b}x{s:g}" for b in (1, 2, 4, 8) for s in (0.005, 0.01)
+    }
+    assert all(t >= 0 for t in timings.values())
+    n_programs = len(engine.pipeline._jitted)
+    assert n_programs == 8, n_programs
+    # a real request at any bucket shape now reuses a compiled program
+    sr, wav = engine.tts("clear audio", "hey how are you", max_seconds=0.01, timeout=300)
+    assert sr == 16000 and wav.ndim == 1
+    assert len(engine.pipeline._jitted) == n_programs
+
+
 def test_blocking_tts_and_shutdown(artifact):  # noqa: F811
     model_dir, tok_dir = artifact
     pipe = ParlerTTSPipeline.from_pretrained(model_dir, tokenizer_name=tok_dir)

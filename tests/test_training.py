@@ -257,19 +257,26 @@ def test_remat_gradients_match(mode):
         labels=jnp.asarray(labels),
     )
 
-    def loss(tr, remat):
+    def loss(tr, remat, unroll=None):
         return parler.train_forward(
-            tstep.merge_params(tr, frozen), cfg, remat=remat, **batch
+            tstep.merge_params(tr, frozen), cfg, remat=remat, scan_unroll=unroll, **batch
         )[0]
 
     l0, g0 = jax.value_and_grad(lambda tr: loss(tr, False))(trainable)
     l1, g1 = jax.value_and_grad(lambda tr: loss(tr, mode))(trainable)
+    # scan_unroll="full" (the production recipe default) removes the layer
+    # scan entirely — gradients must not move
+    l2, g2 = jax.value_and_grad(lambda tr: loss(tr, mode, "full"))(trainable)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    for (p0, a), (p1, b) in zip(
-        jax.tree_util.tree_leaves_with_path(g0), jax.tree_util.tree_leaves_with_path(g1)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    for (p0, a), (p1, b), (p2, c) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
     ):
-        assert p0 == p1
+        assert p0 == p1 == p2
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(p0))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5, err_msg=str(p0))
 
 
 def test_remat_dropout_gradients_match():
