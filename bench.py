@@ -23,8 +23,9 @@ estimate, documented here and held constant across rounds for comparability.
 wall time (BASELINE config 1), not a scaled throughput number.
 
 Env knobs: BENCH_BATCH (default 128 — measured sweep: 84.3 audio-s/s at
-batch 64, 91.2 at 128, 94.4 at 256, but 256's cold compile is 200 s+ vs 54 s;
-128 is the throughput/compile sweet spot).  The default headline shape
+batch 64, 91.2 at 128, 94.8 at 256; but on an idle host 256 costs 573.6 s
+cold / 113.9 s cache-HIT vs 83.5 / 18.8 s at 128, so 128 is the
+throughput/cold-start sweet spot).  The default headline shape
 (batch 128, 3 s, int8, sampled top-k 50 + batch-1 greedy 10 s latency) is
 FROZEN as of round 4: the persistent XLA cache is pre-populated for exactly
 these two programs, and changing any default re-pays a ~400 s driver-visible
