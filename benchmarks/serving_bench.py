@@ -13,6 +13,12 @@ geometry (random bf16 weights; latency is weight-value independent):
 
 Writes ``benchmarks/serving_bench.json`` and prints one JSON line.
 
+``SERVE_MODE=warmup`` measures the ``BatchingEngine.warmup()`` startup story
+instead: per-bucket warmup wall time in a fresh process (run once on a cold
+disk cache for the first-boot cost, again for the restarted-server cost with
+the persistent XLA cache populated), plus the first real request after
+warmup.  Results are merged into the same JSON.
+
 Run serialized with other TPU work:
   PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/serving_bench.py
 """
@@ -68,6 +74,40 @@ def main():
     descs = ["a female speaker with a low pitched voice speaks very fast",
              "clear audio quality", "a male speaker with a deep voice"]
     prompts = ["hey how are you doing today", "how are you", "hey there today"]
+
+    out_path = os.path.join(os.path.dirname(__file__), "serving_bench.json")
+
+    if os.environ.get("SERVE_MODE") == "warmup":
+        # warmup startup story: time engine.warmup() per bucket in THIS fresh
+        # process, then the first real request (which must pay no compile)
+        eng = BatchingEngine(pipe, max_batch=max(BATCH_BUCKETS), max_wait_ms=20.0,
+                             batch_buckets=BATCH_BUCKETS,
+                             length_bucket_seconds=(UTTERANCE_SECONDS,))
+        t0 = time.time()
+        timings = eng.warmup(
+            description=descs[0], prompt=prompts[0],
+            batch_buckets=BATCH_BUCKETS,
+            length_bucket_seconds=(UTTERANCE_SECONDS,), timeout=3600,
+        )
+        total = time.time() - t0
+        t0 = time.time()
+        eng.tts(descs[1], prompts[1], max_seconds=UTTERANCE_SECONDS, timeout=3600)
+        first = time.time() - t0
+        eng.shutdown()
+        try:
+            with open(out_path) as f:
+                report = json.load(f)
+        except OSError:
+            report = {}
+        key = "warmup_cold_cache" if os.environ.get("SERVE_COLD") else "warmup_warm_cache"
+        report[key] = {
+            "per_bucket_s": timings, "total_s": round(total, 1),
+            "first_request_after_warmup_s": round(first, 3),
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps({key: report[key]}))
+        return 0
 
     report: dict = {
         "geometry": "mini_600m", "utterance_seconds": UTTERANCE_SECONDS,
@@ -146,7 +186,6 @@ def main():
     report["load"] = loads
     eng.shutdown()
 
-    out_path = os.path.join(os.path.dirname(__file__), "serving_bench.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
