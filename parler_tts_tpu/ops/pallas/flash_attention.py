@@ -257,6 +257,15 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
     q, k, v, kv_start, kv_end, out, lse = res
     bh, tq, d = q.shape
     tk = k.shape[1]
+    # optional bwd-only tile override (PARLER_FLASH_BLOCK_Q_BWD/K_BWD, 0 =
+    # inherit the fwd tiles): the two backward kernels keep a (block_q,
+    # block_k) f32 score tile PLUS dq/dkv accumulators and 4 operand tiles
+    # in VMEM at once — measurably tighter than the forward at 1024² — so
+    # the best bwd tile may differ from the best fwd tile.
+    if _BLOCK_Q_BWD:
+        block_q = min(_BLOCK_Q_BWD, _round8(tq))
+    if _BLOCK_K_BWD:
+        block_k = min(_BLOCK_K_BWD, _round8(tk))
     nq, nk = pl.cdiv(tq, block_q), pl.cdiv(tk, block_k)
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, Tq, 1)
@@ -351,6 +360,9 @@ import os as _os
 
 _BLOCK_Q = int(_os.environ.get("PARLER_FLASH_BLOCK_Q", "1024"))
 _BLOCK_K = int(_os.environ.get("PARLER_FLASH_BLOCK_K", "1024"))
+# bwd-only overrides (0 = inherit fwd tiles); see _vjp_bwd
+_BLOCK_Q_BWD = int(_os.environ.get("PARLER_FLASH_BLOCK_Q_BWD", "0"))
+_BLOCK_K_BWD = int(_os.environ.get("PARLER_FLASH_BLOCK_K_BWD", "0"))
 
 
 def flash_attention_bhtd(q, k, v, kv_mask=None, *, scale, causal=True, q_offset=0,
