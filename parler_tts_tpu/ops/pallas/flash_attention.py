@@ -236,6 +236,80 @@ def _dq_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
         dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
 
 
+def _dqkv_single_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                        delta_ref, dq_ref, dk_ref, dv_ref,
+                        *, block_q, block_k, scale, causal, q_offset, tk, tq):
+    """Fused dq+dk+dv for the single-block-pair case (whole sequence fits one
+    (block_q, block_k) tile — the production 10 s training shape at the
+    measured-best 1024² tiles).  The split _dq/_dkv kernels each recompute
+    the score matrix and its exp; with one program per (batch·head) there is
+    no cross-block accumulation, so one kernel computes s/p/dp/ds once and
+    emits all three gradients — two fewer (T×T)·D dots plus one fewer pass
+    over q/k/v/do per head."""
+    bh = pl.program_id(0)
+    q_ok = _row_ok(0, block_q, tq, block_q)
+    k_ok = _row_ok(0, block_k, tk, block_k)
+    q = _sanitize(q_ref[0].astype(jnp.float32), q_ok)
+    k = _sanitize(k_ref[0].astype(jnp.float32), k_ok)
+    v = _sanitize(v_ref[0].astype(jnp.float32), k_ok)
+    do = _sanitize(do_ref[0].astype(jnp.float32), q_ok)
+    lse = _sanitize(lse_ref[0], q_ok)
+    delta = _sanitize(delta_ref[0], q_ok)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = _kv_valid(start_ref, end_ref, bh, 0, block_q, block_k, tk, causal, q_offset, 0)
+    valid = valid & q_ok
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # (bq, bk)
+
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_single(q, k, v, kv_start, kv_end, do, lse, delta, *, scale, causal,
+                q_offset, block_q, block_k, interpret):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_i, s, e: (bh_i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_i, s, e: (bh_i, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_dqkv_single_kernel, block_q=block_q, block_k=block_k,
+                          scale=scale, causal=causal, q_offset=q_offset, tk=tk, tq=tq),
+        grid_spec=spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=interpret,
+    )(kv_start, kv_end, q, k, v, do, lse, delta)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def flash_attention(q, k, v, kv_start, kv_end, scale=1.0, causal=True, q_offset=0,
                     block_q=128, block_k=128, interpret=False):
@@ -269,6 +343,16 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
     nq, nk = pl.cdiv(tq, block_q), pl.cdiv(tk, block_k)
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, Tq, 1)
+
+    if nq == 1 and nk == 1 and not _os.environ.get("PARLER_FLASH_NO_FUSED_BWD"):
+        # whole sequence in one block pair: fused dq+dk+dv kernel (no
+        # duplicated score recompute between the split kernels below)
+        dq, dk, dv = _bwd_single(
+            q, k, v, kv_start, kv_end, do, lse, delta, scale=scale,
+            causal=causal, q_offset=q_offset, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+        return dq, dk, dv, None, None
 
     def kv_map(bh_i, i, j, s, e):
         if causal:
