@@ -733,10 +733,25 @@ def forward(
         # lax.scan (the CSE-prevention machinery is unnecessary there and
         # costs real time)
         if remat == "dots":
-            ckpt = lambda f: jax.checkpoint(
-                f, prevent_cse=False,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
+            # dots policy (+ optional pallas-output saving): the flash
+            # kernel's out/lse are pallas_call results, not dot_general
+            # results, so the plain dots policy re-runs the flash forward
+            # inside the backward.  PARLER_REMAT_SAVE_PALLAS=1 additionally
+            # saves pallas outputs (~15 MB/layer at batch 8 x 10 s), which
+            # verifiably removes the recompute from the jaxpr (3 -> 2
+            # pallas call sites) — but measured step time is IDENTICAL
+            # (0.209 s either way on the round-4 champion): the save's HBM
+            # write+read cancels the recompute, so the default stays pure
+            # dots (no memory cost).
+            import os as _os
+
+            _dots = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if _os.environ.get("PARLER_REMAT_SAVE_PALLAS", "0") != "0":
+                def policy(prim, *a, **k):
+                    return getattr(prim, "name", "") == "pallas_call" or _dots(prim, *a, **k)
+            else:
+                policy = _dots
+            ckpt = lambda f: jax.checkpoint(f, prevent_cse=False, policy=policy)
         elif remat:
             ckpt = lambda f: jax.checkpoint(f, prevent_cse=False)
         else:
