@@ -100,8 +100,18 @@ def run_http(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):
     ThreadingHTTPServer(("0.0.0.0", port), Handler).serve_forever()
 
 
-def run_gradio(pipe: ParlerTTSPipeline, port: int):  # pragma: no cover
+def run_gradio(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):  # pragma: no cover
     import gradio as gr
+
+    if warmup:
+        # same cold-first-request mitigation as the HTTP path (ADVICE r4:
+        # --warmup used to be silently ignored when gradio was installed);
+        # the gradio callback is batch-1, so warm the 1-batch programs
+        print("warming up batch-1 programs (5/10 s)...")
+        t0 = __import__("time").monotonic()
+        pipe.tts(DEFAULT_DESCRIPTION, "Warming up the server.", max_seconds=5.0)
+        pipe.tts(DEFAULT_DESCRIPTION, "Warming up the server.", max_seconds=10.0)
+        print(f"  warm in {__import__('time').monotonic() - t0:.1f}s")
 
     def gen(prompt, description, seed):
         sr, wavs = pipe.tts(description, prompt, seed=int(seed))
@@ -127,7 +137,7 @@ def main():
     try:
         import gradio  # noqa: F401
 
-        run_gradio(pipe, args.port)
+        run_gradio(pipe, args.port, warmup=args.warmup)
     except ImportError:
         run_http(pipe, args.port, warmup=args.warmup)
 

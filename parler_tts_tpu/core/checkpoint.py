@@ -122,14 +122,51 @@ def load_train_state(path: str, *, template: Any | None = None) -> tuple[dict, d
 # ---------------------------------------------------------------------------
 
 
-def save_model(path: str, params: Any, cfg: ParlerTTSConfig, gen: GenerationConfig | None = None) -> None:
-    """Complete model artifact: config.json + generation_config.json +
-    sharded weights (the reference's ``save_pretrained`` directory contract,
-    ``run_parler_tts_training.py:1436-1453``)."""
+def save_model(
+    path: str,
+    params: Any,
+    cfg: ParlerTTSConfig,
+    gen: GenerationConfig | None = None,
+    *,
+    tokenizer: Any = None,
+    feature_extractor: Any = None,
+) -> None:
+    """Complete self-contained model artifact: config.json +
+    generation_config.json + sharded weights + tokenizer files +
+    preprocessor_config.json (the reference's ``save_pretrained`` directory
+    contract including tokenizer/feature-extractor,
+    ``run_parler_tts_training.py:1436-1453``; round-4 VERDICT #6).
+
+    ``tokenizer``: any HF-style tokenizer with ``save_pretrained`` (the
+    reference saves ONE — prompt and description tokenizers are the same
+    flan-t5 in every recipe).  ``feature_extractor``: HF-style object with
+    ``save_pretrained``; when None a minimal ``preprocessor_config.json`` is
+    synthesized from the audio-encoder config so the artifact still records
+    its audio I/O contract."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     cfg.save(os.path.join(path, "config.json"))
     (gen or GenerationConfig()).save(os.path.join(path, "generation_config.json"))
+    if tokenizer is not None:
+        tokenizer.save_pretrained(path)
+    if feature_extractor is not None:
+        feature_extractor.save_pretrained(path)
+    else:
+        # EncodecFeatureExtractor-shaped stub (reference wraps DAC with
+        # EncodecFeatureExtractor(sampling_rate=44100),
+        # push_dac_to_hub.py:9-16) — enough for transformers to reload it
+        acfg = cfg.audio_encoder
+        with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+            json.dump({
+                "feature_extractor_type": "EncodecFeatureExtractor",
+                "feature_size": 1,
+                "padding_side": "right",
+                "padding_value": 0.0,
+                "return_attention_mask": True,
+                "sampling_rate": int(acfg.sampling_rate),
+                "chunk_length_s": getattr(acfg, "chunk_length_s", None),
+                "overlap": getattr(acfg, "overlap", None),
+            }, f, indent=2)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "weights"), params, force=True)
 

@@ -71,6 +71,7 @@ def generate_tokens(
     attention_mask: jnp.ndarray | None = None,
     prompt_input_ids: jnp.ndarray | None = None,
     prompt_attention_mask: jnp.ndarray | None = None,
+    prompt_hidden_states: jnp.ndarray | None = None,
     decoder_input_codes: jnp.ndarray | None = None,
     key: jnp.ndarray,
     max_length: int | None = None,
@@ -88,10 +89,13 @@ def generate_tokens(
     cross-attention in any layer) and ``prompt_input_ids=None`` drops the
     prompt prefix — together they form the standalone decoder-only path of
     the reference's ``ParlerTTSForCausalLM.generate`` (``:1281-1552``).
+    ``prompt_hidden_states`` (B, P, H) bypasses ``embed_prompts`` — the
+    decoder-only API surface, where the caller supplies embedded prompts
+    directly (reference ``:1193, 1222-1224``).
     """
     dcfg = cfg.decoder
     num_codebooks = dcfg.num_codebooks
-    for ref_arr in (input_ids, prompt_input_ids, decoder_input_codes):
+    for ref_arr in (input_ids, prompt_input_ids, prompt_hidden_states, decoder_input_codes):
         if ref_arr is not None:
             b = ref_arr.shape[0]
             break
@@ -99,13 +103,13 @@ def generate_tokens(
         raise ValueError("need input_ids, prompt_input_ids, or decoder_input_codes for the batch size")
     max_length = max_length or gen.max_length
     use_cfg = gen.guidance_scale is not None and gen.guidance_scale > 1.0
-    if use_cfg and input_ids is None:
-        raise ValueError("classifier-free guidance needs text conditioning (input_ids)")
 
     if attention_mask is None and input_ids is not None:
         attention_mask = jnp.ones(input_ids.shape, jnp.int32)
     if prompt_attention_mask is None and prompt_input_ids is not None:
         prompt_attention_mask = jnp.ones(prompt_input_ids.shape, jnp.int32)
+    if prompt_attention_mask is None and prompt_hidden_states is not None:
+        prompt_attention_mask = jnp.ones(prompt_hidden_states.shape[:2], jnp.int32)
 
     # --- text encode + CFG null rows (reference :2197-2241) ---
     if input_ids is not None:
@@ -117,17 +121,30 @@ def generate_tokens(
     else:
         enc_hidden = enc_mask = None
 
-    # --- prompt embed; CFG *repeats* the prompt rows (guidance is on the
-    # description only — composite prepare_inputs duplicates via repeat,
-    # reference :2109-2118, unlike the decoder-only zeros path :1214-1229) ---
-    if prompt_input_ids is not None:
+    # --- prompt embed; CFG row duplication.  Composite path (text
+    # conditioning present): the prompt rows are *repeated* — guidance is on
+    # the description only (reference composite prepare_inputs :2109-2118).
+    # Decoder-only path (input_ids=None): the null half gets ZEROED prompt
+    # hidden states + zeroed prompt mask — guidance is on the prompt itself
+    # (reference ParlerTTSForCausalLM.prepare_inputs :1214-1229) ---
+    if prompt_hidden_states is not None:
+        prompt_hidden = prompt_hidden_states.astype(dtype)
+    elif prompt_input_ids is not None:
         prompt_hidden = parler.embed_prompts(params, prompt_input_ids, dtype=dtype)
-        p_mask = prompt_attention_mask
-        if use_cfg:
-            prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
-            p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
     else:
         prompt_hidden = None
+    if prompt_hidden is not None:
+        p_mask = prompt_attention_mask
+        if use_cfg:
+            if input_ids is None:
+                prompt_hidden = jnp.concatenate(
+                    [prompt_hidden, jnp.zeros_like(prompt_hidden)], axis=0
+                )
+                p_mask = jnp.concatenate([p_mask, jnp.zeros_like(p_mask)], axis=0)
+            else:
+                prompt_hidden = jnp.concatenate([prompt_hidden, prompt_hidden], axis=0)
+                p_mask = jnp.concatenate([p_mask, p_mask], axis=0)
+    else:
         p_mask = jnp.zeros((b, 0), jnp.int32)
 
     # --- delay pattern over the un-duplicated batch (reference :2529-2537) ---
@@ -431,6 +448,8 @@ def generate_decoder_only(
     *,
     decoder_input_codes: jnp.ndarray | None = None,
     input_values: jnp.ndarray | None = None,
+    prompt_hidden_states: jnp.ndarray | None = None,
+    prompt_attention_mask: jnp.ndarray | None = None,
     batch_size: int | None = None,
     key: jnp.ndarray,
     max_length: int | None = None,
@@ -438,19 +457,26 @@ def generate_decoder_only(
     dtype=jnp.float32,
 ) -> GenerateOutput:
     """Standalone decoder-only generation: audio continuation with NO text
-    conditioning and no prompt prefix — the reference's
-    ``ParlerTTSForCausalLM.generate`` (``modeling_parler_tts.py:1281-1552``).
-    Cross-attention is skipped in every layer (zero-length encoder sequence).
+    conditioning — the reference's ``ParlerTTSForCausalLM.generate``
+    (``modeling_parler_tts.py:1281-1552``).  Cross-attention is skipped in
+    every layer (zero-length encoder sequence).
 
     Continue a voice sample via ``input_values`` (B, T) raw audio or
     pre-computed ``decoder_input_codes`` (B, K, frames); with neither, the
-    model free-runs from BOS (pass ``batch_size``)."""
+    model free-runs from BOS (pass ``batch_size``).
+
+    ``prompt_hidden_states`` (B, P, H) prepends pre-embedded prompt states —
+    the reference passes these as a model kwarg (``:1193``).  With
+    ``gen.guidance_scale > 1`` classifier-free guidance runs against a null
+    batch whose prompt rows are ZEROED (reference ``:1214-1229``)."""
     if input_values is not None:
         assert decoder_input_codes is None
         decoder_input_codes = codec_mod.encode(
             params["audio_encoder"], cfg.audio_encoder, input_values
         )
     if decoder_input_codes is None:
+        if batch_size is None and prompt_hidden_states is not None:
+            batch_size = prompt_hidden_states.shape[0]
         if batch_size is None:
             raise ValueError("pass decoder_input_codes/input_values or batch_size")
         decoder_input_codes = jnp.zeros(
@@ -459,6 +485,8 @@ def generate_decoder_only(
     tokens, _ = generate_tokens(
         params, cfg, gen,
         decoder_input_codes=decoder_input_codes,
+        prompt_hidden_states=prompt_hidden_states,
+        prompt_attention_mask=prompt_attention_mask,
         key=key, max_length=max_length, dtype=dtype,
     )
     return _finalize(params, cfg, tokens, vocode=vocode, dtype=dtype)

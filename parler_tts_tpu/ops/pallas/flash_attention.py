@@ -344,7 +344,11 @@ def _vjp_bwd(scale, causal, q_offset, block_q, block_k, interpret, res, do):
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, Tq, 1)
 
-    if nq == 1 and nk == 1 and not _os.environ.get("PARLER_FLASH_NO_FUSED_BWD"):
+    # "0"/unset = fused path on, any other value disables it ("!= '0'"
+    # semantics, consistent with PARLER_REMAT_SAVE_PALLAS).  Read at TRACE
+    # time only: toggling between same-shape calls in one process is ignored
+    # by the jit cache — restart the process (or jax.clear_caches()) to flip.
+    if nq == 1 and nk == 1 and _os.environ.get("PARLER_FLASH_NO_FUSED_BWD", "0") == "0":
         # whole sequence in one block pair: fused dq+dk+dv kernel (no
         # duplicated score recompute between the split kernels below)
         dq, dk, dv = _bwd_single(

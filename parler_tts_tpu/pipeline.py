@@ -41,6 +41,12 @@ class ParlerTTSPipeline:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, *, tokenizer_name: str | None = None, dtype=jnp.bfloat16):
+        """Load a model artifact dir.  ``tokenizer_name=None`` auto-loads the
+        tokenizer saved INSIDE the artifact (``save_model(tokenizer=...)``
+        writes it there, matching the reference's self-contained
+        ``save_pretrained`` dirs, ``run_parler_tts_training.py:1436-1453``)."""
+        import os
+
         from parler_tts_tpu.ops.nn import astype_tree
         from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
 
@@ -51,6 +57,11 @@ class ParlerTTSPipeline:
             # masters doubled the decode HBM envelope (and weight-stream
             # traffic) in round 1
             params = astype_tree(params, dtype)
+        if tokenizer_name is None and any(
+            os.path.exists(os.path.join(model_dir, f))
+            for f in ("tokenizer.json", "tokenizer_config.json", "spiece.model")
+        ):
+            tokenizer_name = model_dir
         tok = None
         if tokenizer_name is not None:
             from transformers import AutoTokenizer

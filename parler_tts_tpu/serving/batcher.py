@@ -143,9 +143,21 @@ class BatchingEngine:
         texts representative of production traffic (the defaults land in the
         32/16-token buckets typical of real descriptions/prompts).
         """
+        if self._shutdown:  # mirror submit(): enqueueing behind the None
+            # sentinel would hang fut.result() forever (ADVICE r4)
+            raise RuntimeError("engine is shut down")
+        warm_buckets = batch_buckets or self.batch_buckets
+        for b in warm_buckets:
+            # a bucket outside the engine's set would compile a program real
+            # traffic can never coalesce into (ADVICE r4)
+            if b not in self.batch_buckets or b > self.max_batch:
+                raise ValueError(
+                    f"warmup bucket {b} not servable: batch_buckets="
+                    f"{self.batch_buckets} max_batch={self.max_batch}"
+                )
         timings: dict[str, float] = {}
         for sec in length_bucket_seconds or self.length_bucket_seconds:
-            for b in batch_buckets or self.batch_buckets:
+            for b in warm_buckets:
                 fut: Future = Future()
                 t0 = time.monotonic()
                 self._queue.put(_Request(description, prompt, sec, 0, fut, force_bucket=b))

@@ -680,7 +680,21 @@ def main(argv: list[str] | None = None) -> dict:
     # ----- final artifact (reference :1436-1453) -----
     final = tstep.merge_params(jax.device_get(state.params), jax.device_get(frozen))
     final_dir = os.path.join(train_args.output_dir, "final")
-    ck.save_model(final_dir, final, cfg, gen_cfg)
+    # tokenizer rides in the artifact so it is self-contained (reference
+    # saves tokenizer + feature extractor alongside, :1436-1453); prompt and
+    # description tokenizers are the same model in every reference recipe —
+    # save the prompt one (what tts() consumers feed words through).
+    # Synthetic smoke runs have no tokenizer to save — skip silently.
+    save_tok = None
+    tok_src = model_args.prompt_tokenizer_name or model_args.model_name_or_path
+    if tok_src:
+        try:
+            from transformers import AutoTokenizer
+
+            save_tok = AutoTokenizer.from_pretrained(tok_src)
+        except Exception as e:
+            print(f"artifact tokenizer not saved ({tok_src}: {e})", file=sys.stderr)
+    ck.save_model(final_dir, final, cfg, gen_cfg, tokenizer=save_tok)
     if train_args.push_to_hub and train_args.hub_model_id and jax.process_index() == 0:
         # reference pushes during/after training (:1626-1630); egress-gated
         try:

@@ -12,11 +12,19 @@ from tests.test_generation import BOS, K, MAXLEN, PAD, build_models, ref
 
 
 def reference_decoder_only_loop(rdecoder, start_codes: np.ndarray | None, b: int,
-                                max_length: int = MAXLEN) -> np.ndarray:
+                                max_length: int = MAXLEN,
+                                prompt_hidden: np.ndarray | None = None,
+                                guidance_scale: float | None = None) -> np.ndarray:
     """Greedy loop through the reference decoder's own
     prepare_inputs_for_generation + forward (its legacy ``greedy_search``
     call no longer exists in modern transformers, so the loop is driven by
-    hand — same step machinery, reference ``:1446-1527``)."""
+    hand — same step machinery, reference ``:1446-1527``).
+
+    ``guidance_scale > 1`` exercises the reference's decoder-only CFG: row
+    duplication with ZEROED null prompt rows inside
+    ``prepare_inputs_for_generation`` (``:1214-1229``) + the
+    ``ClassifierFreeGuidanceLogitsProcessor`` combine (``:1461-1463``)."""
+    use_cfg = guidance_scale is not None and guidance_scale > 1
     with torch.no_grad():
         input_ids = torch.full((b * K, 1), BOS, dtype=torch.long)
         if start_codes is not None:
@@ -28,6 +36,13 @@ def reference_decoder_only_loop(rdecoder, start_codes: np.ndarray | None, b: int
             input_ids, BOS, PAD, max_length, K
         )
         kwargs = dict(delay_pattern_mask=delay_mask, use_cache=True)
+        if use_cfg:
+            kwargs["guidance_scale"] = guidance_scale
+        if prompt_hidden is not None:
+            kwargs["prompt_hidden_states"] = torch.tensor(prompt_hidden, dtype=torch.float32)
+            kwargs["prompt_attention_mask"] = torch.ones(
+                (b, prompt_hidden.shape[1]), dtype=torch.long
+            )
         # HF legacy greedy_search per-row EOS bookkeeping (what the
         # reference's self.greedy_search call did, :1446-1527): finished rows
         # emit pad; a row finishes on its RAW sampled token, before the delay
@@ -39,11 +54,20 @@ def reference_decoder_only_loop(rdecoder, start_codes: np.ndarray | None, b: int
                 **{k: v for k, v in inputs.items() if v is not None or k == "input_ids"},
                 return_dict=True,
             )
-            next_tok = torch.argmax(out.logits[:, -1, :], dim=-1)
+            logits = out.logits[:, -1, :]
+            if use_cfg:
+                cond, uncond = logits.chunk(2, dim=0)
+                logits = uncond + guidance_scale * (cond - uncond)
+            next_tok = torch.argmax(logits, dim=-1)
             next_tok = next_tok * unfinished + PAD * (1 - unfinished)
             input_ids = torch.cat([input_ids, next_tok[:, None]], dim=-1)
             unfinished = unfinished * next_tok.ne(PAD).long()  # eos == PAD here
             kwargs["past_key_values"] = out.past_key_values
+            if use_cfg and prompt_hidden is not None:
+                # prepare_inputs nulls prompt_hidden_states once past is set;
+                # keep feeding the base (unduplicated) mask like HF's
+                # model_kwargs replay does
+                kwargs["prompt_hidden_states"] = None
         final = ref.apply_delay_pattern_mask(input_ids, delay_mask)
     return final.numpy().reshape(b, K, -1)
 
@@ -72,6 +96,42 @@ def test_decoder_only_matches_reference(continuation_frames):
     out = G.generate_decoder_only(
         params, cfg, gen,
         decoder_input_codes=None if start_codes is None else start_codes,
+        batch_size=b,
+        key=jax.random.PRNGKey(0), vocode=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+@pytest.mark.parametrize("with_prompt", [True, False])
+def test_decoder_only_cfg_matches_reference(with_prompt):
+    """Decoder-only classifier-free guidance (round-4 VERDICT #5): bit-exact
+    greedy tokens vs the reference's own step machinery with
+    ``guidance_scale > 1`` — null batch rows carry ZEROED prompt hidden
+    states (reference ``modeling_parler_tts.py:1214-1229``)."""
+    import jax
+
+    from parler_tts_tpu.core.config import GenerationConfig
+
+    rmodel, cfg, params = build_models()
+    b, scale = 2, 3.0
+    prompt_hidden = None
+    if with_prompt:
+        rng = np.random.default_rng(7)
+        prompt_hidden = rng.normal(
+            0, 0.3, (b, 5, cfg.decoder.hidden_size)
+        ).astype(np.float32)
+
+    ref_tokens = reference_decoder_only_loop(
+        rmodel.decoder, None, b, prompt_hidden=prompt_hidden, guidance_scale=scale
+    )
+
+    gen = GenerationConfig(
+        max_length=MAXLEN, do_sample=False, guidance_scale=scale,
+        decoder_start_token_id=BOS, pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD,
+    )
+    out = G.generate_decoder_only(
+        params, cfg, gen,
+        prompt_hidden_states=None if prompt_hidden is None else prompt_hidden,
         batch_size=b,
         key=jax.random.PRNGKey(0), vocode=False,
     )

@@ -58,7 +58,9 @@ def artifact(tmp_path_factory):
         decoder_start_token_id=33, pad_token_id=32, bos_token_id=33, eos_token_id=32,
     )
     model_dir = str(base / "model")
-    ck.save_model(model_dir, params, cfg, gen)
+    # tokenizer saved INTO the artifact -> self-contained dir (reference
+    # run_parler_tts_training.py:1436-1453; round-4 VERDICT #6)
+    ck.save_model(model_dir, params, cfg, gen, tokenizer=fast)
     return model_dir, tok_dir
 
 
@@ -77,6 +79,26 @@ def test_pipeline_tts(artifact):
         # random-weight models may emit EOS at step 1 -> legitimately empty
         if w.size:
             assert np.abs(w).max() <= 1.0
+
+
+def test_pipeline_self_contained_artifact(artifact):
+    """tts() round-trips from a bare artifact dir with NO tokenizer_name —
+    the tokenizer + preprocessor_config.json live inside the artifact
+    (round-4 VERDICT #6; reference ``run_parler_tts_training.py:1436-1453``)."""
+    import json
+    import os
+
+    model_dir, _ = artifact
+    # the artifact records its audio I/O contract
+    with open(os.path.join(model_dir, "preprocessor_config.json")) as f:
+        pre = json.load(f)
+    assert pre["sampling_rate"] == 16000
+    assert os.path.exists(os.path.join(model_dir, "tokenizer_config.json"))
+
+    pipe = ParlerTTSPipeline.from_pretrained(model_dir, dtype=np.float32)
+    sr, wavs = pipe.tts("a female speaker", "hey how are you", seed=5)
+    assert sr == 16000
+    assert len(wavs) == 1
 
 
 def test_demo_http_server(artifact):
