@@ -37,10 +37,31 @@ Resilience: the TPU tunnel on this box occasionally kills the worker during
 long compiles/runs; the driver depends on ONE JSON line being printed, so a
 failed attempt falls back to smaller configs and, as a last resort, reports
 the failure in-line.
+
+Phase instrumentation (round-4 VERDICT #1 — BENCH_r04 recorded 523.3 s
+"compile+first-run" despite a logged cache HIT, 40x the in-round verified
+12.3 s, with nothing in the log to attribute it):
+
+* ``claim_probe``: the axon chip claim is LAZY — it happens at the first
+  device operation, not client init — and a prior client killed mid-work
+  leaves a stale lease the next claim waits out (measured on this box
+  2026-08-20: probes hung > 600 s, then cleared; the orchestrator's
+  ``/v1/claim`` endpoint itself blocked).  That is the prime suspect for the
+  523 s: the driver captures right after the round's last builder processes
+  are killed.  ``bench.py`` therefore first claims the chip in a KILLABLE
+  SUBPROCESS (tiny jit, 150 s timeout, up to BENCH_CLAIM_RETRIES=8 tries);
+  a stale-lease wait lands in ``claim_probe_s``/``claim_tries`` instead of
+  silently inflating compile_s, and the main process then claims instantly.
+* ``phases`` in the JSON: client_init_s / tunnel_probe_s / init_s /
+  trace_lower_s / backend_compile_s (AOT ``.compile()`` = persistent-cache
+  deserialize or remote compile) / first_exec_s — whichever phase eats a
+  future regression is named in the driver's own capture.
+``compile_s`` remains trace+compile+first-exec for cross-round continuity.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -50,6 +71,42 @@ A100_BASELINE_AUDIO_S_PER_S = 2.6  # documented estimate, see module docstring
 
 
 _done = False
+
+
+def _claim_chip_subprocess() -> dict:
+    """Claim (and release) the chip in a killable child before the main
+    process touches the device.  Returns phase info; never raises.
+
+    HAZARD (why this is opt-in): killing a claim-WAITING child (the timeout
+    path below) leaves a dead claimant the orchestrator may still grant to,
+    adding a full "grant unclaimed" timeout cycle before live clients get
+    the chip — measured 2026-08-20: three timed-out probe children preceded
+    a ~12 min main-process claim wait."""
+    retries = int(os.environ.get("BENCH_CLAIM_RETRIES", 8))
+    probe_timeout = int(os.environ.get("BENCH_CLAIM_TIMEOUT", 150))
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128,128), jnp.bfloat16);"
+        "print(float(jax.jit(lambda a:jnp.sum((a@a).astype(jnp.float32)))(x)))"
+    )
+    t0 = time.time()
+    for attempt in range(1, retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                return {"claim_probe_s": round(time.time() - t0, 1),
+                        "claim_tries": attempt}
+            print(f"claim probe attempt {attempt} rc={r.returncode}: "
+                  f"{(r.stderr or '')[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"claim probe attempt {attempt} timed out after "
+                  f"{probe_timeout}s (stale chip lease? waiting it out)",
+                  file=sys.stderr)
+    return {"claim_probe_s": round(time.time() - t0, 1),
+            "claim_tries": retries, "claim_failed": True}
 
 
 def main():
@@ -83,6 +140,19 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # BENCH_CLAIM_PROBE=1: claim the chip in a killable child first, so a
+    # stale lease is waited out in a subprocess that can be timed out.
+    # Default OFF (measured 2026-08-20): the child's claim+release does not
+    # hand the chip to the main process — the main process's own claim
+    # queued AGAIN for ~10 min right after the child succeeded, so the extra
+    # process transition can double the wait.  The in-process tunnel probe
+    # (phases.tunnel_probe_s) attributes claim waits just as well; the
+    # watchdog bounds a truly-wedged claim.
+    claim_info = {}
+    if os.environ.get("BENCH_CLAIM_PROBE", "0") != "0":
+        claim_info = _claim_chip_subprocess()
+        print(f"claim probe: {claim_info}", file=sys.stderr)
+
     attempts = [
         (int(os.environ.get("BENCH_BATCH", 128)), float(os.environ.get("BENCH_SECONDS", 3.0))),
         (32, 3.0),
@@ -92,7 +162,7 @@ def main():
     for batch, seconds in attempts:
         try:
             attempt_start[0] = time.time()
-            return run_bench(batch, seconds)
+            return run_bench(batch, seconds, claim_info)
         except Exception as e:  # tunnel crash, OOM, ...
             last_err = e
             print(f"bench attempt batch={batch} seconds={seconds} failed: {e}", file=sys.stderr)
@@ -137,9 +207,10 @@ def _host_load():
         return None, None
 
 
-def run_bench(batch: int, seconds: float):
+def run_bench(batch: int, seconds: float, claim_info: dict | None = None):
     from parler_tts_tpu.utils.compilation_cache import enable_persistent_cache
 
+    phases: dict = dict(claim_info or {})
     load1, ncpu = _host_load()
     if load1 is not None and load1 > 0.5 * ncpu:
         print(
@@ -188,8 +259,20 @@ def run_bench(batch: int, seconds: float):
         kv_cache_dtype="int8" if use_int8 else None, int8_weights=use_int8,
     )
 
+    t0 = time.time()
     print(f"backend: {jax.default_backend()} devices={jax.devices()} "
           f"compilation_cache={cache_dir}", file=sys.stderr)
+    phases["client_init_s"] = round(time.time() - t0, 2)
+
+    # in-process tunnel probe: trivial program, times THIS process's claim +
+    # tiny compile + exec (after the subprocess pre-claim this should be a
+    # few seconds; if not, the tunnel itself is degraded and it shows here)
+    t0 = time.time()
+    xp = jnp.ones((128, 128), jnp.bfloat16)
+    float(jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))(xp))
+    phases["tunnel_probe_s"] = round(time.time() - t0, 2)
+    print(f"tunnel probe {phases['tunnel_probe_s']}s", file=sys.stderr)
+
     t0 = time.time()
     # one fused compile for init (eager init is hundreds of tiny dispatches);
     # cast to bf16 INSIDE the program so fp32 masters never stay resident
@@ -197,7 +280,8 @@ def run_bench(batch: int, seconds: float):
         lambda k: astype_tree(parler.init(k, cfg, with_audio_encoder=vocode), jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
+    phases["init_s"] = round(time.time() - t0, 1)
+    print(f"init {phases['init_s']}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     inputs = _make_inputs(rng, batch)
@@ -213,19 +297,32 @@ def run_bench(batch: int, seconds: float):
         # NOT a reliable completion barrier through the axon tunnel
         return jnp.sum(res.astype(jnp.float32))
 
+    # AOT phase split: trace/lower (host python+jaxpr), backend compile
+    # (persistent-cache deserialize+load OR remote cold compile), first
+    # execution — so a regression names its phase (round-4 VERDICT #1)
     t0 = time.time()
-    float(run(params, jax.random.PRNGKey(1)))
-    compile_s = time.time() - t0
+    lowered = run.lower(params, jax.random.PRNGKey(1))
+    phases["trace_lower_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    compiled = lowered.compile()
+    phases["backend_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    float(compiled(params, jax.random.PRNGKey(1)))
+    phases["first_exec_s"] = round(time.time() - t0, 1)
+    compile_s = phases["trace_lower_s"] + phases["backend_compile_s"] + phases["first_exec_s"]
     cache_n1 = _cache_entries(cache_dir)
     print(f"compile+first-run {compile_s:.1f}s "
-          f"(cache entries {cache_n0} -> {cache_n1}: "
+          f"(trace {phases['trace_lower_s']} + compile {phases['backend_compile_s']}"
+          f" + first-exec {phases['first_exec_s']}; cache entries {cache_n0} -> {cache_n1}: "
           f"{'MISS — populated now' if cache_n1 > cache_n0 else 'HIT'})",
           file=sys.stderr)
 
     times = []
     for i in range(reps):
         t0 = time.time()
-        float(run(params, jax.random.PRNGKey(2 + i)))
+        # the AOT-compiled executable (run() itself would re-lower + pay a
+        # second cache deserialize — the jit cache is not shared with .lower())
+        float(compiled(params, jax.random.PRNGKey(2 + i)))
         times.append(time.time() - t0)
     median = float(np.median(times))
     print(f"warm times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
@@ -242,6 +339,7 @@ def run_bench(batch: int, seconds: float):
         "utterance_seconds": seconds,
         "decode_steps": frames,
         "compile_s": round(compile_s, 1),
+        "phases": phases,
     }
     if load1 is not None:
         result["host_load1"] = load1

@@ -49,19 +49,20 @@ def main():
     ap.add_argument("--batch", type=int, default=3)  # reference per-device bsz
     ap.add_argument("--seconds", type=float, default=10.0)  # audio per sample
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--remat", default="off", choices=["off", "dots", "full"],
-                    help="per-layer gradient checkpointing: off | dots (save "
+    ap.add_argument("--remat", default="auto", choices=["auto", "off", "dots", "full"],
+                    help="per-layer gradient checkpointing: auto (shape-driven "
+                         "plan, training/autotune.py) | off | dots (save "
                          "matmul outputs) | full (save only layer boundaries; "
                          "the 16 GB-chip capacity unlock for batch>=8 x 10 s)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="ablation: XLA attention instead of the pallas flash kernel")
-    ap.add_argument("--unroll", default=None,
-                    help="layer-scan unroll factor (int or 'full'); default "
-                         "follows PARLER_TRAIN_SCAN_UNROLL env, else 1")
+    ap.add_argument("--unroll", default="auto",
+                    help="layer-scan unroll factor (int, 'full', or 'auto' = "
+                         "shape-driven plan)")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the timed steps")
     args = ap.parse_args()
-    remat = {"off": False, "dots": "dots", "full": True}[args.remat]
+    remat = {"auto": "auto", "off": False, "dots": "dots", "full": True}[args.remat]
 
     import jax
     import jax.numpy as jnp
@@ -86,7 +87,20 @@ def main():
     jax.block_until_ready(params)
     tx = optim.make_optimizer(9.5e-4, warmup_steps=100)
     state, frozen = tstep.create_state(params, tx)
-    unroll = args.unroll if args.unroll is None or args.unroll == "full" else int(args.unroll)
+    unroll = args.unroll if args.unroll in (None, "full", "auto") else int(args.unroll)
+    if remat == "auto" or unroll == "auto":
+        # the same shape-driven plan run_training.py applies by default
+        # (round-4 VERDICT #4): champion when it fits, capacity plan if not
+        from parler_tts_tpu.training.autotune import plan_train_memory
+
+        plan = plan_train_memory(cfg, per_device_batch=b, fused_len=32 + t_lab)
+        if remat == "auto":
+            remat = plan.remat
+        if unroll == "auto":
+            unroll = plan.scan_unroll
+        print(f"[plan] remat={remat} scan_unroll={unroll} "
+              f"(est peak {plan.est_peak_bytes/1e9:.1f} G / {plan.hbm_limit_bytes/1e9:.2f} G)",
+              file=sys.stderr)
     train_step = jax.jit(
         tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16, remat=remat, scan_unroll=unroll),
         donate_argnums=(0,),
@@ -134,8 +148,8 @@ def main():
         "metric": "train_step",
         "batch": b,
         "label_frames": t_lab,
-        "remat": args.remat,
-        "scan_unroll": args.unroll,
+        "remat": str(remat),
+        "scan_unroll": str(unroll),
         "step_s": round(dt, 3),
         "codec_tokens_per_sec": round(tokens / dt),
         "train_audio_seconds_per_sec": round(b * args.seconds / dt, 2),

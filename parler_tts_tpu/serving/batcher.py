@@ -74,19 +74,29 @@ class BatchingEngine:
         self,
         pipeline,
         *,
-        max_batch: int = 32,
+        max_batch: int = 64,
         max_wait_ms: float = 30.0,
-        batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+        batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
         length_bucket_seconds: tuple[float, ...] = (5.0, 10.0, 30.0),
+        fill_wait_ms: float = 150.0,
+        fill_threshold: float = 0.6,
     ):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.length_bucket_seconds = tuple(sorted(length_bucket_seconds))
+        # deferred fill (round-4 VERDICT #2, pad-waste): when the drained
+        # group would pad to under ``fill_threshold`` of its batch bucket,
+        # wait up to ``fill_wait_ms`` extra for stragglers — trades a bounded
+        # latency add for fewer wasted pad rows in the dead zone just above a
+        # bucket boundary.  0 disables.
+        self.fill_wait_ms = fill_wait_ms
+        self.fill_threshold = fill_threshold
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._pending: list[_Request] = []  # drained-but-deferred (other buckets)
-        self._stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                       "bucket_rows": 0, "padded_rows": 0}
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
         self._shutdown = False
@@ -194,6 +204,9 @@ class BatchingEngine:
             bucket = self._length_bucket(first)
             group = [first]
             deadline = time.monotonic() + self.max_wait_ms / 1e3
+            # deferred fill: one bounded deadline extension when the group
+            # would pad to a poorly-filled batch bucket (see __init__)
+            fill_extended = False
             leftovers: list[_Request] = []
             while len(group) < self.max_batch:
                 # same-bucket requests already deferred from earlier windows
@@ -205,11 +218,18 @@ class BatchingEngine:
                     break
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
+                    if not fill_extended and self.fill_wait_ms > 0:
+                        bsz = _batch_bucket(len(group), self.batch_buckets)
+                        if len(group) < self.fill_threshold * bsz:
+                            fill_extended = True
+                            deadline = time.monotonic() + self.fill_wait_ms / 1e3
+                            continue
                     break
                 try:
                     item = self._queue.get(timeout=timeout)
                 except queue.Empty:
-                    break
+                    continue  # deadline expired mid-wait: let the timeout<=0
+                    # branch decide between deferred fill and dispatch
                 if item is None:
                     self._queue.put(None)  # re-signal shutdown for the outer loop
                     break
@@ -268,5 +288,10 @@ class BatchingEngine:
         with self._lock:
             self._stats["batches"] += 1
             self._stats["batched_requests"] += n
+            # pad accounting (round-4 VERDICT #2): device rows executed vs
+            # useful rows — stats()["bucket_rows"]/["padded_rows"] give the
+            # deployment's true pad-waste ratio
+            self._stats["bucket_rows"] += bucket
+            self._stats["padded_rows"] += bucket - n
         for r, wav in zip(group, waves):
             r.future.set_result((sr, np.asarray(wav)))

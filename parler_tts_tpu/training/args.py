@@ -103,17 +103,21 @@ class TrainingArguments:
     # boundaries (max capacity, needed for 30 s samples); "dots" also keeps
     # matmul outputs (~4% faster when it fits — measured 306.7 vs 296
     # audio-s/s at batch 8 x 10 s)
-    gradient_checkpointing: bool = False
-    gradient_checkpointing_policy: str = "full"  # "full" | "dots"
+    # None = AUTO (default): training/autotune.py estimates peak HBM from the
+    # (batch, fused_len) shape and picks dots-remat when it fits, full remat
+    # otherwise.  Explicit True/False always wins.
+    gradient_checkpointing: bool | None = None
+    gradient_checkpointing_policy: str = "auto"  # "auto" | "full" | "dots"
     # layer-scan unroll factor ("full" = no scan).  Full unroll removes the
     # scan's stacked remat-stash traffic (24% of the round-4 step roofline):
     # measured 0.261 -> 0.220 s/step (+18.6% to 363.6 audio-s/s) at
     # batch 8 x 10 s, grads bit-identical.  BUT unrolling raises peak HBM
     # (no scan = more simultaneously-live buffers): batch 8 x 30 s OOMs at
-    # 22.9 G vs the 15.75 G chip, where the scan version fits — so the safe
-    # default is 1 and recipes opt in per proven shape (set "full" when the
-    # corpus caps at ~10 s per sample on a 16 GB chip).
-    scan_unroll: str = "1"  # "full" | integer factor
+    # 22.9 G vs the 15.75 G chip, where the scan version fits.  "auto"
+    # (default) resolves per shape via the calibrated peak-HBM estimate in
+    # training/autotune.py — the 0.209 s/step champion engages whenever it
+    # fits, with no env knobs (round-4 VERDICT #4).
+    scan_unroll: str = "auto"  # "auto" | "full" | integer factor
     seed: int = 42
     dtype: str = "bfloat16"
     resume_from_checkpoint: str | None = None

@@ -189,6 +189,22 @@ def test_prepared_dataset_disk_cache(tmp_path, monkeypatch):
     assert len(second) == 3
     np.testing.assert_array_equal(second[0]["labels"], first[0]["labels"])
 
+    # fingerprinted cache (round-4 VERDICT #7): changing a data-affecting
+    # arg (here a duration filter) must RE-prepare, not reload stale samples
+    import dataclasses
+
+    changed = dataclasses.replace(data_args, max_duration_in_seconds=7.5)
+    third = run_training._load_or_prepare(
+        changed, model_args, cfg, None, split="train", max_samples=None,
+    )
+    assert len(calls) == 2, "stale cache reloaded despite changed filter"
+    assert len(third) == 3
+    # and the changed-args cache is itself cached on a second call
+    run_training._load_or_prepare(
+        changed, model_args, cfg, None, split="train", max_samples=None,
+    )
+    assert len(calls) == 2
+
 
 @pytest.mark.slow
 def test_train_cli_and_resume(tmp_path):
