@@ -17,10 +17,19 @@ import numpy as np
 
 class WerMetric:
     """Word-error-rate of ASR transcriptions vs prompts (reference
-    ``:1307-1318``).  Requires a local ASR checkpoint + torch."""
+    ``:1307-1318``).  Requires a local ASR checkpoint + torch.
 
-    def __init__(self, asr_model_name_or_path: str, *, device: str = "cpu"):
+    Deployment posture: the reference runs the ASR on the training GPU
+    (``run_parler_tts_training.py:253-260`` + device placement via
+    Accelerate); a TPU host has no CUDA device, so the default is host CPU
+    with BATCHED pipeline calls (``batch_size``) — the encoder forward over
+    a batch of padded 30 s mel windows amortizes torch's per-call overhead.
+    Pass ``device`` through for deployments with a sidecar GPU."""
+
+    def __init__(self, asr_model_name_or_path: str, *, device: str = "cpu",
+                 batch_size: int = 8):
         self.available = False
+        self.batch_size = batch_size
         try:
             from transformers import pipeline
 
@@ -32,10 +41,12 @@ class WerMetric:
     def __call__(self, prompts: Sequence[str], audio: Sequence[np.ndarray], sampling_rate: int) -> dict:
         if not self.available:
             return {"wer": float("nan"), "wer_available": 0.0}
-        hyps = [
-            self.pipe({"array": np.asarray(a, np.float32), "sampling_rate": sampling_rate})["text"]
-            for a in audio
-        ]
+        outs = self.pipe(
+            [{"array": np.asarray(a, np.float32), "sampling_rate": sampling_rate}
+             for a in audio],
+            batch_size=self.batch_size,
+        )
+        hyps = [o["text"] for o in outs]
         return {"wer": word_error_rate(prompts, hyps), "wer_available": 1.0}
 
 
