@@ -63,6 +63,7 @@ def xla_ops_events(events: list[dict]) -> list[dict]:
 
 _CATEGORIES = (
     # (label, regex over the op name)
+    ("while/cond loop overhead", r"^while|^conditional"),
     ("pallas (flash attention)", r"pallas|flash|custom-call"),
     ("dynamic-update-slice stash", r"dynamic-update-slice|dynamic_update_slice"),
     ("dynamic-slice reads", r"dynamic-slice|dynamic_slice"),
@@ -93,11 +94,30 @@ def main() -> int:
     if not events:
         raise SystemExit("no XLA Ops events found (wrong logdir? CPU-only trace?)")
 
+    # EXCLUSIVE durations: the ops row contains wrapper events (while.N,
+    # conditionals) that enclose their body's fusions — summing raw `dur`
+    # triple-counts.  Per thread, sweep events in (ts, -dur) order with an
+    # interval stack and subtract each child's span from its parent.
+    by_thread: dict[tuple, list[dict]] = collections.defaultdict(list)
+    for e in events:
+        by_thread[(e.get("pid"), e.get("tid"))].append(e)
     by_name: dict[str, float] = collections.defaultdict(float)
     counts: dict[str, int] = collections.defaultdict(int)
-    for e in events:
-        by_name[e["name"]] += e.get("dur", 0.0)  # us
-        counts[e["name"]] += 1
+    for evs in by_thread.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0.0)))
+        stack: list[list] = []  # [end_ts, name, exclusive_us]
+        for e in evs:
+            ts, dur = e["ts"], e.get("dur", 0.0)
+            while stack and stack[-1][0] <= ts:
+                _, nm, excl = stack.pop()
+                by_name[nm] += excl
+            if stack:
+                stack[-1][2] -= dur  # child's span is not parent-exclusive
+            stack.append([ts + dur, e["name"], dur])
+            counts[e["name"]] += 1
+        while stack:
+            _, nm, excl = stack.pop()
+            by_name[nm] += excl
 
     total_us = sum(by_name.values())
     by_cat: dict[str, float] = collections.defaultdict(float)
