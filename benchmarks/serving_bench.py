@@ -78,7 +78,10 @@ def main():
     print(f"init {time.time() - t0:.1f}s", file=sys.stderr)
 
     tok = _toy_tokenizer()
-    pipe = ParlerTTSPipeline(params, cfg, gen, tok, tok, dtype=jnp.bfloat16)
+    # pcm16: device-side int16 conversion halves the waveform readback (the
+    # serving product ships WAV bytes anyway); measured 5.30 -> 4.84 s per
+    # batch-128 x 3 s batch (2.97 -> 2.35 at bucket 64) through the tunnel
+    pipe = ParlerTTSPipeline(params, cfg, gen, tok, tok, dtype=jnp.bfloat16, pcm16=True)
     descs = ["a female speaker with a low pitched voice speaks very fast",
              "clear audio quality", "a male speaker with a deep voice"]
     prompts = ["hey how are you doing today", "how are you", "hey there today"]

@@ -133,7 +133,10 @@ def main():
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile common bucket programs before serving")
     args = ap.parse_args()
-    pipe = ParlerTTSPipeline.from_pretrained(args.model_dir, tokenizer_name=args.tokenizer)
+    # pcm16: the server ships 16-bit WAV bytes, so convert on device and
+    # halve the waveform device->host transfer
+    pipe = ParlerTTSPipeline.from_pretrained(args.model_dir, tokenizer_name=args.tokenizer,
+                                             pcm16=True)
     try:
         import gradio  # noqa: F401
 

@@ -13,11 +13,15 @@ import numpy as np
 
 
 def write_wav(path_or_buf, audio: np.ndarray, sampling_rate: int) -> None:
-    """audio: (T,) or (C, T) float in [-1, 1] -> 16-bit PCM WAV."""
-    audio = np.asarray(audio, np.float32)
+    """audio: (T,) or (C, T) float in [-1, 1] — or int16 PCM passthrough
+    (the pipeline's ``pcm16=True`` device-side conversion) -> 16-bit WAV."""
+    audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[None]
-    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+    if audio.dtype == np.int16:
+        pcm = audio.astype("<i2", copy=False)
+    else:
+        pcm = (np.clip(audio.astype(np.float32), -1.0, 1.0) * 32767.0).astype("<i2")
     interleaved = pcm.T.reshape(-1)
     f = wave.open(path_or_buf, "wb")
     try:

@@ -101,6 +101,20 @@ def test_pipeline_self_contained_artifact(artifact):
     assert len(wavs) == 1
 
 
+def test_pipeline_pcm16(artifact):
+    """pcm16=True returns int16 waveforms whose values equal the float
+    path's WAV conversion (device-side truncating cast, round-5 serving)."""
+    model_dir, _ = artifact
+    pipe_f = ParlerTTSPipeline.from_pretrained(model_dir, dtype=np.float32)
+    pipe_i = ParlerTTSPipeline.from_pretrained(model_dir, dtype=np.float32, pcm16=True)
+    sr, (wf,) = pipe_f.tts("a female speaker", "hey how are you", seed=2)
+    sr, (wi,) = pipe_i.tts("a female speaker", "hey how are you", seed=2)
+    assert wi.dtype == np.int16
+    np.testing.assert_array_equal(
+        wi, (np.clip(wf, -1.0, 1.0) * 32767.0).astype(np.int16)
+    )
+
+
 def test_demo_http_server(artifact):
     """The stdlib demo server returns a valid WAV from POST /api."""
     import importlib.util

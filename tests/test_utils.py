@@ -45,3 +45,20 @@ def test_runtime_flags_roundtrip():
     rf.set_pallas(False)
     assert rf.use_pallas() is False
     rf.set_pallas(None)
+
+
+def test_write_wav_int16_passthrough_matches_float():
+    """pcm16 pipeline output (device-side truncating cast) produces the
+    SAME WAV bytes as the float path (utils/audio_io.py round-5)."""
+    import io
+
+    import numpy as np
+
+    from parler_tts_tpu.utils.audio_io import read_wav, wav_bytes
+
+    rng = np.random.default_rng(0)
+    f = rng.uniform(-1.2, 1.2, 400).astype(np.float32)  # incl. clipping range
+    i = (np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    assert wav_bytes(i, 16000) == wav_bytes(f, 16000)
+    audio, sr = read_wav(io.BytesIO(wav_bytes(i, 16000)))
+    assert sr == 16000 and audio.shape == (1, 400)
