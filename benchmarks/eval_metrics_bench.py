@@ -82,7 +82,9 @@ def build_clap_default(d: str) -> None:
     from tokenizers import Tokenizer, models, pre_tokenizers, trainers
 
     torch.manual_seed(0)
-    ClapModel(ClapConfig()).save_pretrained(d)
+    # enable_fusion matches the default ClapFeatureExtractor's 4-channel
+    # fusion features (and the real laion/larger_clap_* are fusion models)
+    ClapModel(ClapConfig(audio_config={"enable_fusion": True})).save_pretrained(d)
     specials = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"]
     tok = Tokenizer(models.BPE(unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
@@ -145,22 +147,27 @@ def main() -> int:
     result["asr_batched_total_s"] = round(batched_s, 1)
     result["asr_100clip_projection_s"] = round(100 * batched_s / args.clips, 0)
 
+    print(json.dumps(result), file=sys.stderr)  # ASR numbers survive a CLAP crash
+
     if not args.skip_clap:
-        cdir = os.path.join(cache, "clap_default_sized")
-        if not os.path.isdir(cdir):
-            os.makedirs(cdir, exist_ok=True)
-            build_clap_default(cdir)
-        t0 = time.time()
-        clap = ClapMetric(cdir)
-        result["clap_load_s"] = round(time.time() - t0, 1)
-        if clap.available:
+        try:
+            cdir = os.path.join(cache, "clap_fusion_sized")
+            if not os.path.isdir(cdir):
+                os.makedirs(cdir, exist_ok=True)
+                build_clap_default(cdir)
             t0 = time.time()
-            clap(prompts, clips, sr)
-            clap_s = time.time() - t0
-            result["clap_s_per_clip"] = round(clap_s / args.clips, 2)
-            result["clap_100clip_projection_s"] = round(100 * clap_s / args.clips, 0)
-        else:
-            result["clap_error"] = getattr(clap, "error", "")[:200]
+            clap = ClapMetric(cdir)
+            result["clap_load_s"] = round(time.time() - t0, 1)
+            if clap.available:
+                t0 = time.time()
+                clap(prompts, clips, sr)
+                clap_s = time.time() - t0
+                result["clap_s_per_clip"] = round(clap_s / args.clips, 2)
+                result["clap_100clip_projection_s"] = round(100 * clap_s / args.clips, 0)
+            else:
+                result["clap_error"] = getattr(clap, "error", "")[:200]
+        except Exception as e:
+            result["clap_error"] = str(e)[:200]
 
     print(json.dumps(result))
     return 0

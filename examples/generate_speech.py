@@ -17,7 +17,9 @@ import argparse
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model_dir")
-    ap.add_argument("--tokenizer", required=True)
+    # artifacts saved/converted by this framework bundle their tokenizer
+    # (round 5); --tokenizer is only needed for dirs that lack one
+    ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--description", default="A female speaker with a slightly low-pitched "
                     "voice delivers her words quite expressively, with clear audio quality.")
     ap.add_argument("--prompt", default="Hey, how are you doing today?")

@@ -14,7 +14,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model_dir")
-    ap.add_argument("--tokenizer", required=True)
+    # bundled-tokenizer artifacts (round 5) need no --tokenizer
+    ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--description", default="A clear, expressive female voice.")
     ap.add_argument("--prompt", default="Streaming synthesis, one second at a time.")
     ap.add_argument("--max-seconds", type=float, default=10.0)
@@ -33,7 +34,7 @@ def main():
     params, cfg, gen = ck.load_model(args.model_dir)
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    tok = AutoTokenizer.from_pretrained(args.tokenizer or args.model_dir)
     d = tok([args.description], return_tensors="np")
     p = tok([args.prompt], return_tensors="np")
 

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("save_dir")
     ap.add_argument("--text-encoder", default=None, help="local HF flan-t5 checkpoint dir")
     ap.add_argument("--dac", default=None, help="local HF DacModel checkpoint dir")
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer dir to bundle into the artifact "
+                         "(defaults to --text-encoder's, which carries the "
+                         "flan-t5 tokenizer in HF checkpoints)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -59,7 +63,18 @@ def main():
         bos_token_id=cfg.decoder.bos_token_id,
         eos_token_id=cfg.decoder.eos_token_id,
     )
-    ck.save_model(args.save_dir, params, cfg, gen)
+    # bundle the tokenizer so the artifact is self-contained (reference
+    # saves it alongside, run_parler_tts_training.py:1436-1453)
+    tok = None
+    tok_src = args.tokenizer or args.text_encoder
+    if tok_src:
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(tok_src)
+        except Exception as e:
+            print(f"tokenizer not bundled ({tok_src}: {e})", file=sys.stderr)
+    ck.save_model(args.save_dir, params, cfg, gen, tokenizer=tok)
     from parler_tts_tpu.ops.nn import count_params
 
     print(f"saved Mini-600M-class model to {args.save_dir} "

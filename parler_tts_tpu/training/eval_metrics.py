@@ -70,10 +70,21 @@ class ClapMetric:
             return {"clap": float("nan"), "clap_available": 0.0}
         import torch
 
+        # CLAP's feature extractor is trained at a fixed rate (48 kHz for
+        # laion/larger_clap_*) and REJECTS other rates — generated Parler
+        # audio is 44.1 kHz, so resample first (the reference feeds 44.1 kHz
+        # through the same processor, run_parler_tts_training.py:1292-1305)
+        clap_sr = getattr(getattr(self.processor, "feature_extractor", None),
+                          "sampling_rate", sampling_rate)
+        clips = [np.asarray(a, np.float32) for a in audio]
+        if clap_sr != sampling_rate:
+            from parler_tts_tpu.utils.audio_io import resample_linear
+
+            clips = [resample_linear(c[None], sampling_rate, clap_sr)[0] for c in clips]
         inputs = self.processor(
             text=list(descriptions),
-            audios=[np.asarray(a, np.float32) for a in audio],
-            sampling_rate=sampling_rate,
+            audios=clips,
+            sampling_rate=clap_sr,
             return_tensors="pt",
             padding=True,
         )
