@@ -84,16 +84,13 @@ def _claim_chip_subprocess() -> dict:
     a ~12 min main-process claim wait."""
     retries = int(os.environ.get("BENCH_CLAIM_RETRIES", 8))
     probe_timeout = int(os.environ.get("BENCH_CLAIM_TIMEOUT", 150))
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "x = jnp.ones((128,128), jnp.bfloat16);"
-        "print(float(jax.jit(lambda a:jnp.sum((a@a).astype(jnp.float32)))(x)))"
-    )
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "probe_tiny.py")
     t0 = time.time()
     for attempt in range(1, retries + 1):
         try:
             r = subprocess.run(
-                [sys.executable, "-c", code], timeout=probe_timeout,
+                [sys.executable, probe], timeout=probe_timeout,
                 capture_output=True, text=True,
             )
             if r.returncode == 0:
@@ -228,7 +225,6 @@ def run_bench(batch: int, seconds: float, claim_info: dict | None = None):
     logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
     logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
     logging.basicConfig(stream=sys.stderr)
-    cache_n0 = _cache_entries(cache_dir)
 
     import jax
     import jax.numpy as jnp
@@ -303,6 +299,10 @@ def run_bench(batch: int, seconds: float, claim_info: dict | None = None):
     t0 = time.time()
     lowered = run.lower(params, jax.random.PRNGKey(1))
     phases["trace_lower_s"] = round(time.time() - t0, 1)
+    # entry counts bracket ONLY the main program's compile: the probe/init
+    # programs above also write cache entries, which used to mislabel a
+    # genuinely-warm run as MISS (round-5 review)
+    cache_n0 = _cache_entries(cache_dir)
     t0 = time.time()
     compiled = lowered.compile()
     phases["backend_compile_s"] = round(time.time() - t0, 1)

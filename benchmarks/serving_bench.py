@@ -156,7 +156,8 @@ def main():
     # fully-padded lone request WOULD waste (the load sweep's ``pad_ratio``
     # reports the waste actually incurred under traffic)
     big = str(max(BATCH_BUCKETS))
-    report[f"batch_cost_{big}_vs_1"] = round(bucket_times[big] / bucket_times["1"], 3)
+    if "1" in bucket_times:  # SERVE_BUCKETS may omit the solo bucket
+        report[f"batch_cost_{big}_vs_1"] = round(bucket_times[big] / bucket_times["1"], 3)
 
     # ----- 2. latency vs offered load (Poisson arrivals, warm buckets) -----
     rng = np.random.default_rng(0)

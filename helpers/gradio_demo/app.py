@@ -42,16 +42,20 @@ FORM = """<!doctype html><title>Parler-TTS (TPU)</title>
 def run_http(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):
     # concurrent requests coalesce into batched generate calls (decode step
     # cost is nearly flat in batch on TPU — see parler_tts_tpu/serving);
-    # the threading server lets requests overlap so the batcher can group them
-    engine = BatchingEngine(pipe)
+    # the threading server lets requests overlap so the batcher can group them.
+    # The bucket set here is exactly what warmup covers — a reachable bucket
+    # outside the warm set would block the serving thread on a ~30-140 s
+    # inline compile the first time a burst lands in it (round-5 review)
+    engine = BatchingEngine(pipe, max_batch=64, batch_buckets=(1, 4, 16, 64),
+                            length_bucket_seconds=(5.0, 10.0, 30.0))
     if warmup:
-        # pre-compile the common bucket programs so no request ever pays the
-        # 142 s cold first-request compile (benchmarks/serving_bench.json);
-        # a restarted server re-loads these from the persistent XLA cache
-        print("warming up bucket programs (batch 1/4/16 x 5/10 s)...")
-        for bucket, secs in sorted(engine.warmup(
-            batch_buckets=(1, 4, 16), length_bucket_seconds=(5.0, 10.0)
-        ).items()):
+        # pre-compile EVERY reachable (batch x length) bucket program so no
+        # request ever pays the cold first-request compile
+        # (benchmarks/serving_bench.json); a restarted server re-loads these
+        # from the persistent XLA cache
+        print(f"warming up bucket programs (batch {engine.batch_buckets} x "
+              f"{engine.length_bucket_seconds} s)...")
+        for bucket, secs in sorted(engine.warmup().items()):
             print(f"  bucket {bucket}: {secs:.1f}s")
 
     class Handler(BaseHTTPRequestHandler):
@@ -101,20 +105,28 @@ def run_http(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):
 
 
 def run_gradio(pipe: ParlerTTSPipeline, port: int, warmup: bool = False):  # pragma: no cover
+    import time
+
     import gradio as gr
+
+    # the callback pins max_seconds so its jit signature is known up front —
+    # warmup must compile the SAME (batch, max_length) program the callback
+    # uses (pipeline._run keys on max_length; a warmup at a different
+    # max_seconds warms nothing — round-5 review)
+    callback_seconds = 10.0
 
     if warmup:
         # same cold-first-request mitigation as the HTTP path (ADVICE r4:
-        # --warmup used to be silently ignored when gradio was installed);
-        # the gradio callback is batch-1, so warm the 1-batch programs
-        print("warming up batch-1 programs (5/10 s)...")
-        t0 = __import__("time").monotonic()
-        pipe.tts(DEFAULT_DESCRIPTION, "Warming up the server.", max_seconds=5.0)
-        pipe.tts(DEFAULT_DESCRIPTION, "Warming up the server.", max_seconds=10.0)
-        print(f"  warm in {__import__('time').monotonic() - t0:.1f}s")
+        # --warmup used to be silently ignored when gradio was installed)
+        print(f"warming up the batch-1 {callback_seconds:g} s program...")
+        t0 = time.monotonic()
+        pipe.tts(DEFAULT_DESCRIPTION, "Warming up the server.",
+                 max_seconds=callback_seconds)
+        print(f"  warm in {time.monotonic() - t0:.1f}s")
 
     def gen(prompt, description, seed):
-        sr, wavs = pipe.tts(description, prompt, seed=int(seed))
+        sr, wavs = pipe.tts(description, prompt, seed=int(seed),
+                            max_seconds=callback_seconds)
         return sr, wavs[0]
 
     gr.Interface(

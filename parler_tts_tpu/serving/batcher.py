@@ -220,7 +220,13 @@ class BatchingEngine:
                 if timeout <= 0:
                     if not fill_extended and self.fill_wait_ms > 0:
                         bsz = _batch_bucket(len(group), self.batch_buckets)
-                        if len(group) < self.fill_threshold * bsz:
+                        # only defer when the group already outgrew the
+                        # smallest bucket: a solo request on an engine whose
+                        # smallest bucket is > 1 would otherwise pay the full
+                        # extension on every idle-traffic request with no
+                        # realistic fill upside (round-5 review)
+                        if (len(group) > self.batch_buckets[0]
+                                and len(group) < self.fill_threshold * bsz):
                             fill_extended = True
                             deadline = time.monotonic() + self.fill_wait_ms / 1e3
                             continue

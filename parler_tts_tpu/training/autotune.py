@@ -132,13 +132,17 @@ def resolve_train_plan(
         cfg, per_device_batch=per_device_batch, fused_len=fused_len,
         hbm_limit_bytes=hbm_limit_bytes,
     )
+    explicit_policy = (
+        None if gradient_checkpointing_policy == "auto"
+        else ("dots" if gradient_checkpointing_policy == "dots" else True)
+    )
     if gradient_checkpointing is None:
-        remat = auto.remat
+        # auto remat on/policy — but an explicitly-set policy still wins
+        # (a recipe that sets only the policy field means it, round-5 review)
+        remat = explicit_policy if explicit_policy is not None else auto.remat
     elif not gradient_checkpointing:
         remat = False
-    elif gradient_checkpointing_policy == "auto":
-        remat = auto.remat or True  # explicit on + auto policy: prefer plan, never off
     else:
-        remat = "dots" if gradient_checkpointing_policy == "dots" else True
+        remat = explicit_policy if explicit_policy is not None else (auto.remat or True)
     unroll = auto.scan_unroll if scan_unroll == "auto" else scan_unroll
     return remat, unroll

@@ -64,6 +64,19 @@ def test_explicit_args_always_win():
     assert remat == "dots" and unroll == "1"
 
 
+def test_explicit_policy_wins_with_auto_flag():
+    """A recipe that sets ONLY gradient_checkpointing_policy (leaving the
+    on/off flag at its None auto default) still gets its policy — the plan
+    may not silently substitute its own (round-5 review fix)."""
+    # shape where auto would pick full remat (True), but the recipe says dots
+    remat, unroll = resolve_train_plan(
+        CFG, per_device_batch=8, fused_len=FUSED_30S,
+        gradient_checkpointing=None, gradient_checkpointing_policy="dots",
+        scan_unroll="auto", hbm_limit_bytes=V5E_HBM_BYTES,
+    )
+    assert remat == "dots" and unroll == "1"
+
+
 def test_auto_defaults_resolve():
     remat, unroll = resolve_train_plan(
         CFG, per_device_batch=8, fused_len=FUSED_10S,
