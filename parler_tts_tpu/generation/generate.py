@@ -168,7 +168,9 @@ def generate_tokens(
     # bucket's fused length and zero-padded (grow_cache) at each bucket
     # transition, so attention reads a dense buffer sized to the current
     # generated length (see the loop-nest comment below)
-    bucket_sizes = _kv_read_limits(p_len + t0, p_len + max_length, gen.kv_read_buckets)
+    bucket_sizes = _kv_read_limits(
+        p_len + t0, p_len + max_length, gen.kv_read_buckets, batch_rows=rows
+    )
     cache = decoder_mod.init_cache(
         dcfg, rows, bucket_sizes[0],
         enc_hidden.shape[1] if enc_hidden is not None else 0, dtype=dtype,
@@ -334,24 +336,30 @@ def generate_tokens(
     return final.tokens, final.t
 
 
-def _kv_read_limits(min_limit: int, t_fused_max: int, max_buckets: int) -> list[int]:
+def _kv_read_limits(min_limit: int, t_fused_max: int, max_buckets: int,
+                    batch_rows: int | None = None) -> list[int]:
     """Static KV-buffer length buckets (growing-buffer decode): multiples of
     128, at most ``max_buckets`` of them, last one = ``t_fused_max``; the
     first is >= ``min_limit`` so the prefill always fits.
 
     ``PARLER_KV_MIN_STEP`` (trace-time env) floors the bucket granularity.
-    Default 128 (round-5 roofline harvest): the old 256 floor collapsed
-    short programs' ladders (3 s -> only [256, 315], most steps reading
-    ~270 positions for an average live length of ~158 — the dominant HBM
-    term).  Measured on-chip, int8, 8-bucket cap: batch 128 x 3 s
-    14.38 -> 12.96 ms/step (-9.9%), batch 32 x 10 s 4.485 -> 4.128
+    Default 128 for batched decode (round-5 roofline harvest): the old 256
+    floor collapsed short programs' ladders (3 s -> only [256, 315], most
+    steps reading ~270 positions for an average live length of ~158 — the
+    dominant HBM term).  Measured on-chip, int8, 8-bucket cap: batch 128 x
+    3 s 14.38 -> 12.96 ms/step (-9.9%), batch 32 x 10 s 4.485 -> 4.128
     (-8.0%); a 64 floor is neutral vs 128 (transition overhead cancels the
-    finer reads), and >= 30 s ladders never hit the floor."""
+    finer reads), and >= 30 s ladders never hit the floor.  Small batches
+    (rows <= 4) keep the 256 floor: their decode is weight-streaming-bound
+    (the whole int8 decoder streams per step regardless of KV length), so
+    extra bucket transitions only cost — measured batch-1 x 10 s p50
+    0.979 s at 256 vs 1.001 s at 128."""
     if max_buckets <= 1 or t_fused_max <= 256:
         return [t_fused_max]
     import os as _os
 
-    floor = int(_os.environ.get("PARLER_KV_MIN_STEP", 128))
+    default_floor = 256 if (batch_rows is not None and batch_rows <= 4) else 128
+    floor = int(_os.environ.get("PARLER_KV_MIN_STEP", default_floor))
     step = max(floor, -(-t_fused_max // max_buckets // 128) * 128)
     limits = [l for l in range(step, t_fused_max, step) if l >= max(min_limit, step)]
     return limits + [t_fused_max]
