@@ -22,16 +22,15 @@ estimate, documented here and held constant across rounds for comparability.
 ``p50_latency_10s_utterance_s`` is a MEASURED batch-1 greedy 10 s-utterance
 wall time (BASELINE config 1), not a scaled throughput number.
 
-Env knobs: BENCH_BATCH (default 128 — measured sweep: 84.3 audio-s/s at
-batch 64, 91.2 at 128, 94.8 at 256; but on an idle host 256 costs 573.6 s
-cold / 113.9 s cache-HIT vs 83.5 / 18.8 s at 128, so 128 is the
-throughput/cold-start sweet spot).  The default headline shape
-(batch 128, 3 s, int8, sampled top-k 50 + batch-1 greedy 10 s latency) is
-FROZEN as of round 4: the persistent XLA cache is pre-populated for exactly
-these two programs, and changing any default re-pays a ~400 s driver-visible
-cold compile (the round-3 mistake).  BENCH_SECONDS (default 3 s of audio),
-BENCH_REPS (default 3, median reported), BENCH_VOCODE=0 to skip DAC,
-BENCH_LATENCY=0 to skip the batch-1 latency config.
+Env knobs: BENCH_BATCH (default 128 — round-5 sweep with the final KV
+ladder: 100.2 audio-s/s at 128, 101.5 at 256; 256's +1.3% is not worth the
+bigger executable).  The default headline shape (batch 128, 3 s, int8,
+sampled top-k 50 + batch-1 greedy 10 s latency) stays FROZEN: the
+persistent XLA cache is pre-populated for exactly these two programs
+(round-5 verified: HIT compile_s ~8-10 s; a cold MISS is ~30-95 s of
+remote compile).  BENCH_SECONDS (default 3 s of audio), BENCH_REPS
+(default 3, median reported), BENCH_VOCODE=0 to skip DAC, BENCH_LATENCY=0
+to skip the batch-1 latency config.
 
 Resilience: the TPU tunnel on this box occasionally kills the worker during
 long compiles/runs; the driver depends on ONE JSON line being printed, so a

@@ -87,3 +87,77 @@ def test_blocking_tts_and_shutdown(artifact):  # noqa: F811
     eng.shutdown()
     with pytest.raises(RuntimeError):
         eng.submit("x", "y")
+
+
+class _FakePipeline:
+    """Minimal pipeline stand-in: returns a 1-sample wave per row, records
+    batch sizes.  Lets the batching-policy tests run without jax."""
+
+    class _Cfg:
+        frame_rate = 100
+
+    class _Gen:
+        max_length = 100
+
+    cfg = _Cfg()
+    gen = _Gen()
+
+    def __init__(self):
+        self.batches = []
+
+    def tts(self, descs, prompts, *, seed=0, max_seconds=None):
+        self.batches.append(len(descs))
+        return 16000, [np.zeros(4, np.float32) for _ in descs]
+
+
+def test_deferred_fill_waits_for_stragglers():
+    """A poorly-filled group extends its window once (fill_wait_ms) and
+    coalesces arrivals inside it instead of padding out a dead-zone bucket
+    (round-5 VERDICT #2 pad-waste lever)."""
+    import threading
+
+    pipe = _FakePipeline()
+    eng = BatchingEngine(pipe, max_batch=16, max_wait_ms=100.0,
+                         batch_buckets=(1, 2, 16),
+                         length_bucket_seconds=(0.5,),
+                         fill_wait_ms=2000.0, fill_threshold=0.6)
+    try:
+        # 3 requests land in the dead zone: bucket 16, fill 3/16 < 0.6 ->
+        # the window extends once; 2 stragglers arrive inside the extension
+        futs = [eng.submit("d", "p"), eng.submit("d", "p"), eng.submit("d", "p")]
+
+        def late():
+            time.sleep(0.4)  # > max_wait_ms, << fill_wait_ms
+            futs.append(eng.submit("d", "p"))
+            futs.append(eng.submit("d", "p"))
+
+        t = threading.Thread(target=late)
+        t.start()
+        t.join()
+        for f in list(futs):
+            f.result(timeout=30)
+        s = eng.stats()
+        # without deferred fill: two batches ([3-pad-16, 2]); with it: ONE
+        # batch of 5 useful rows padded to 16 (the pipe sees padded sizes)
+        assert s["batches"] == 1 and s["batched_requests"] == 5, (s, pipe.batches)
+        assert s["bucket_rows"] == 16 and s["padded_rows"] == 11
+    finally:
+        eng.shutdown()
+
+
+def test_deferred_fill_skips_solo_requests():
+    """A solo request never pays the fill extension, even when the smallest
+    batch bucket is > 1 (round-5 review fix)."""
+    pipe = _FakePipeline()
+    eng = BatchingEngine(pipe, max_batch=8, max_wait_ms=30.0,
+                         batch_buckets=(4, 8), length_bucket_seconds=(0.5,),
+                         fill_wait_ms=5000.0, fill_threshold=0.6)
+    try:
+        t0 = time.monotonic()
+        eng.tts("d", "p", timeout=30)
+        elapsed = time.monotonic() - t0
+        assert elapsed < 2.0, f"solo request waited the fill window: {elapsed:.2f}s"
+        assert pipe.batches == [4]  # padded to the smallest bucket, one batch
+        assert eng.stats()["batched_requests"] == 1
+    finally:
+        eng.shutdown()
