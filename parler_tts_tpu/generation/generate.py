@@ -349,13 +349,18 @@ def _kv_read_limits(min_limit: int, t_fused_max: int, max_buckets: int,
     dominant HBM term).  Measured on-chip, int8, 8-bucket cap: batch 128 x
     3 s 14.38 -> 12.96 ms/step (-9.9%), batch 32 x 10 s 4.485 -> 4.128
     (-8.0%); a 64 floor is neutral vs 128 (transition overhead cancels the
-    finer reads), and >= 30 s ladders never hit the floor.  Small batches
-    (rows <= 4) keep a COARSER 256 floor: mostly weight-streaming-bound, so
-    finer reads buy little and transitions cost — full-bench batch-1 x 10 s
-    p50: 0.981 s with the 256-floor ladder vs 1.001 s at floor 128 vs
-    1.049 s single-bucket (the KV-read term is ~11% of a batch-1 step, so
-    no-bucketing overpays on reads; decode_bench's vocode-less harness
-    ranked these differently — the full pipeline number decides)."""
+    finer reads), and >= 30 s ladders never hit the floor.  Small OFFLINE
+    batches (``batch_rows <= 4``) keep a COARSER 256 floor: mostly
+    weight-streaming-bound, so finer reads buy little and transitions cost
+    — full-bench batch-1 x 10 s p50: 0.981 s with the 256-floor ladder vs
+    1.001 s at floor 128 vs 1.049 s single-bucket (the KV-read term is
+    ~11% of a batch-1 step, so no-bucketing overpays on reads;
+    decode_bench's vocode-less harness ranked these differently — the full
+    pipeline number decides).  The STREAMING path deliberately omits
+    ``batch_rows`` (keeps the 128 floor even at batch 1): its chunked
+    decode re-enters the ladder per chunk, and the measured stream numbers
+    are better at 128 (first audio 0.197 s / 2.85x RT vs 0.201 / 2.76 at
+    256 — stream_bench round-5)."""
     if max_buckets <= 1 or t_fused_max <= 256:
         return [t_fused_max]
     import os as _os

@@ -98,7 +98,9 @@ def _build_stream_fns(cfg: ParlerTTSConfig, gen: GenerationConfig, b: int,
         rows = 2 * b if use_cfg else b
         p_len = prompt_hidden.shape[1]
         # growing-buffer length buckets (see generate.py): allocate at the
-        # first bucket size; stream_generate grows the cache between chunks
+        # first bucket size; stream_generate grows the cache between chunks.
+        # batch_rows deliberately NOT passed: streaming measured better with
+        # the fine 128-floor ladder even at batch 1 (see _kv_read_limits)
         from parler_tts_tpu.generation.generate import _kv_read_limits
 
         bucket_sizes = _kv_read_limits(
@@ -277,6 +279,8 @@ def stream_generate(
     t_fused_max = p_len + max_length
     from parler_tts_tpu.generation.generate import _kv_read_limits
 
+    # batch_rows deliberately NOT passed — must stay ladder-consistent with
+    # the init-time call above (the grow schedule is the same ladder)
     bucket_sizes = _kv_read_limits(
         p_len + 1 + audio_prompt_frames, t_fused_max, gen.kv_read_buckets
     )

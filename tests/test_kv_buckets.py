@@ -92,3 +92,21 @@ def test_bucketed_decode_matches_full_loop():
     offline_raw = np.asarray(undelay_pattern(np.asarray(base)[:, :, 1:]))
     match = codes_stream == offline_raw[:, :, : codes_stream.shape[2]]
     assert match.mean() > 0.98, f"stream/offline token match {match.mean():.4f}"
+
+
+def test_kv_read_limits_batch_aware_floor():
+    """Round-5 policy (measured end-to-end, see _kv_read_limits docstring):
+    offline batches <= 4 get the coarse 256-floor ladder; larger batches the
+    fine 128 floor; omitting batch_rows (the streaming path) also keeps 128."""
+    from parler_tts_tpu.generation.generate import _kv_read_limits
+
+    t = 893  # batch-1 10 s latency shape
+    assert _kv_read_limits(25, t, 8, batch_rows=1)[0] == 256
+    assert _kv_read_limits(25, t, 8, batch_rows=4)[0] == 256
+    assert _kv_read_limits(25, t, 8, batch_rows=5)[0] == 128
+    assert _kv_read_limits(25, t, 8, batch_rows=128)[0] == 128
+    assert _kv_read_limits(25, t, 8)[0] == 128  # streaming omits batch_rows
+    # every variant still ends at the fused max and respects the cap
+    for rows in (1, 5, None):
+        lims = _kv_read_limits(25, t, 8, batch_rows=rows)
+        assert lims[-1] == t and len(lims) <= 8
