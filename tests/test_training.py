@@ -340,3 +340,30 @@ def test_remat_dropout_gradients_match():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prepare_fingerprint_ignores_output_paths():
+    """The save_to_disk cache key must change with data-affecting args and
+    NOT with output/infra paths (round-5 fingerprint semantics)."""
+    import dataclasses
+
+    from parler_tts_tpu.core.config import dummy_config
+    from parler_tts_tpu.training.args import DataTrainingArguments, ModelArguments
+    from parler_tts_tpu.training.run_training import _prepare_fingerprint
+
+    cfg = dummy_config()
+    m = ModelArguments(model_name_or_path="dummy")
+    base = DataTrainingArguments(train_dataset_name="x", save_to_disk="/a")
+    fp = _prepare_fingerprint(base, m, cfg)
+    # deterministic
+    assert fp == _prepare_fingerprint(base, m, cfg)
+    # output/infra knobs don't churn the key
+    same = dataclasses.replace(base, save_to_disk="/b", temporary_save_to_disk="/c",
+                               preprocessing_num_workers=7, audio_encoder_batch_size=2)
+    assert _prepare_fingerprint(same, m, cfg) == fp
+    # data-affecting args do
+    for change in (dict(max_duration_in_seconds=3.0), dict(train_split_name="dev"),
+                   dict(prompt_column_name="words"), dict(max_train_samples=5)):
+        assert _prepare_fingerprint(dataclasses.replace(base, **change), m, cfg) != fp
+    # tokenizer identity too
+    assert _prepare_fingerprint(base, ModelArguments(model_name_or_path="other"), cfg) != fp
